@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+Runs everything on CPU with 8 virtual devices so multi-chip sharding tests
+work without a TPU pod (SURVEY §4: the TPU analog of the reference's
+fake-backend precedents), and enables x64 so oracles can be computed in
+double precision.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on CPU (override axon/tpu)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# jax is pre-imported at interpreter startup in this environment, so the env
+# vars above may have been bound already -- override through the config API.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x5EED)
