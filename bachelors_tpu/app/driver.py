@@ -1,0 +1,263 @@
+"""Headless application driver.
+
+The analog of the reference ``main()`` multi-config loop + headless loop
+(`main.cpp:238-575`): per config file -- parse, optional tests/benchmarks,
+build initial state (or resume), create the timestamped save folder, swap in
+a per-run file logger, echo the config, then run with time-based snapshot
+triggers (``every`` cadence + ``times`` uniform over the stop time) and a
+~1 Hz progress log.
+
+TPU redesign of the hot loop: instead of host-driven single steps with a
+device sync each iteration (`main.cpp:499-559`), the driver advances in
+jitted device-side chunks between snapshot/stats events (`solvers/run.py`),
+so the benchmark path has zero per-step host round-trips.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..core.params import SimParams, SolverType
+from ..core.state import SimState, make_state
+from ..models.allen_cahn import debug_maps
+from ..models.initial import make_initial_fields
+from ..parallel.topology import Topology
+from ..solvers.base import make_stepper
+from ..solvers.run import advance_collect, advance_n, advance_until
+from ..io.config import SimConfig, load_config
+from ..io.snapshot import load_bin_maps, make_save_folder, save_bin_maps
+from ..io.stats_io import StatsAccumulator
+from ..utils.logging import SYSTEM, get_logger
+
+log = get_logger("app")
+
+
+@dataclasses.dataclass
+class RunResult:
+    iters: int
+    sim_time: float
+    runtime: float
+    snapshots: int
+    save_folder: str
+
+    @property
+    def avg_step_ms(self) -> float:
+        return self.runtime / max(self.iters, 1) * 1000
+
+
+def _initial_state(cfg: SimConfig) -> SimState:
+    p = cfg.params
+    if cfg.init_path:
+        snap = load_bin_maps(cfg.init_path)
+        if snap.nx != p.nx or snap.ny != p.ny:
+            raise ValueError(
+                f"resume snapshot is {snap.nx}x{snap.ny}, config wants {p.nx}x{p.ny}")
+        log.info(f"resuming from '{cfg.init_path}' at t={snap.time:g} iter={snap.iter}")
+        return make_state(snap.maps["F"], snap.maps["U"], p,
+                          t=snap.time, it=snap.iter)
+    F, U = make_initial_fields(p, cfg.initial)
+    return make_state(F, U, p)
+
+
+def _echo_config(cfg: SimConfig) -> None:
+    p = cfg.params
+    log.info(f"solver = {p.solver.value}")
+    log.info(f"T_boundary = {p.T_boundary.value}")
+    log.info(f"Phi_boundary = {p.Phi_boundary.value}")
+    for k in ("L0", "nx", "ny", "T_max_iters", "Phi_max_iters",
+              "corrector_max_iters", "do_corrector_guess", "do_corrector_loop",
+              "T_tolerance", "Phi_tolerance", "corrector_tolerance", "dt",
+              "min_dt", "L", "xi", "a", "b", "alpha", "beta", "gamma", "Tm",
+              "S", "m0", "theta0", "dtype", "backend"):
+        log.info(f"{k} = {getattr(p, k)}")
+
+
+def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
+                   acc: Optional[StatsAccumulator], save_config_once: List[int]) -> None:
+    p = cfg.params
+    maps = {"F": np.asarray(state.F), "U": np.asarray(state.U)}
+    if cfg.debug:
+        from ..core.boundary import pad2
+
+        Fp = pad2(state.F, p.Phi_boundary)
+        Up = pad2(state.U, p.T_boundary)
+        gF, gU, an = debug_maps(Fp, Up, p)
+        maps.update(grad_Phi=np.asarray(gF), grad_T=np.asarray(gU),
+                    aniso=np.asarray(an))
+    path = os.path.join(folder, f"maps_{index:04d}.bin")
+    save_bin_maps(path, maps, p.nx, p.ny, p.dx, p.dy,
+                  float(state.t), int(state.iter))
+    if acc is not None:
+        acc.save_csv(os.path.join(folder, "stats.csv"), p.nx, p.ny, p.dt)
+    if save_config_once[0] == 0:
+        with open(os.path.join(folder, "config.ini"), "w") as f:
+            f.write(cfg.entire_config_text)
+        save_config_once[0] += 1
+
+
+def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
+                   make_folder: bool = True) -> RunResult:
+    p = cfg.params
+    state = _initial_state(cfg)
+    stepper = make_stepper(p, topo)
+
+    folder = ""
+    if make_folder:
+        folder = make_save_folder(cfg.snapshot_folder, cfg.snapshot_prefix,
+                                  cfg.snapshot_postfix, p.solver.value)
+        SYSTEM.set_file(os.path.join(folder, "log.txt"))
+    _echo_config(cfg)
+
+    acc = StatsAccumulator() if cfg.collect_stats else None
+    save_config_once = [0]
+    snapshots = 0
+    if cfg.snapshot_initial_conditions and make_folder:
+        _save_snapshot(folder, 0, state, cfg, None, save_config_once)
+
+    stop = cfg.stop_time
+    # Event times: `every` cadence and `times` uniform snapshots
+    # (`main.cpp:499-523`); both trigger at the first step whose time
+    # reaches the threshold, and the end always snapshots if times > 0.
+    events: List[float] = []
+    if cfg.snapshot_times > 0:
+        events += [stop * (k + 1) / cfg.snapshot_times for k in range(cfg.snapshot_times)]
+    if 0 < cfg.snapshot_every < stop:
+        k = 1
+        while k * cfg.snapshot_every < stop:
+            events.append(k * cfg.snapshot_every)
+            k += 1
+    events = sorted(set(events)) or [stop]
+    if events[-1] < stop:
+        events.append(stop)
+
+    adv_until = jax.jit(
+        lambda s, t_stop: advance_until(stepper, s, t_stop),
+        donate_argnums=0)
+    adv_n = jax.jit(
+        lambda s, n: advance_n(stepper, s, n),
+        donate_argnums=0, static_argnums=1)
+
+    jit_collect = {}
+
+    def adv_collect(s, n, t_stop):
+        if n not in jit_collect:
+            jit_collect[n] = jax.jit(
+                lambda st, ts: advance_collect(stepper, st, n, t_stop=ts),
+                donate_argnums=0)
+        return jit_collect[n](s, t_stop)
+
+    last_stats_save = 0.0
+    t_start = time.perf_counter()
+    last_notif = t_start
+    fixed_dt = p.solver not in (SolverType.EXPLICIT_RK4_ADAPTIVE,)
+
+    # Fixed-dt state time is iter*dt in f32; compare against f64 targets with
+    # a half-step tolerance so rounding can't trigger a spurious extra step.
+    time_eps = p.dt * 0.5 if fixed_dt else 1e-16
+
+    for target in events:
+        while True:
+            # For fixed dt the authoritative time is iter*dt in host f64
+            # (exact); the f32 device-side t is for stats/snapshots only.
+            if fixed_dt:
+                t_now = int(state.iter) * p.dt
+            else:
+                t_now = float(state.t)
+            if target - t_now < time_eps:
+                break
+            if acc is None and not cfg.collect_step_residual:
+                if fixed_dt:
+                    # exact host-side step count (reference trigger
+                    # semantics: first iter with t >= target)
+                    n = int(np.ceil((target - t_now) / p.dt - 1e-9))
+                    state = adv_n(state, max(n, 1))
+                else:
+                    state = adv_until(state, target)
+            else:
+                # stats path: bounded scan chunks emitting per-step stats
+                if fixed_dt:
+                    n = int(np.ceil((target - t_now) / p.dt - 1e-9))
+                else:
+                    n = max(int(np.ceil((target - t_now) / max(float(state.tau), 1e-30))), 1)
+                n = int(min(max(n, 1), 2048))
+                state, stats, mask = adv_collect(state, n, target)
+                mask = np.asarray(mask)
+                ts = np.asarray(stats.t)
+                post = np.append(ts[1:], np.float32(state.t))
+                for i in range(len(mask)):
+                    if not mask[i]:
+                        break
+                    if acc is not None and post[i] >= last_stats_save + cfg.collect_stats_every:
+                        acc.collect(jax.tree.map(lambda a, idx=i: a[idx], stats))
+                        last_stats_save = float(post[i])
+            now = time.perf_counter()
+            if now - last_notif > 1:
+                last_notif = now
+                t_cur = float(state.t)
+                log.info(f"... completed {t_cur / stop * 100:.2f}%")
+
+        snapshots += 1
+        if make_folder:
+            log.info(f"saving snapshot {snapshots}")
+            _save_snapshot(folder, snapshots, state, cfg, acc, save_config_once)
+
+    jax.block_until_ready(state.F)
+    runtime = time.perf_counter() - t_start
+    iters = int(state.iter)
+    log.info("Finished!")
+    log.info(f"runtime: {runtime:.2f}s | iters: {iters} | "
+             f"average step time: {runtime / max(iters, 1) * 1000:.2f} ms")
+    return RunResult(iters=iters, sim_time=float(state.t), runtime=runtime,
+                     snapshots=snapshots, save_folder=folder)
+
+
+def run_config_file(path: str, overrides: Optional[List[str]] = None,
+                    make_folder: bool = True) -> Optional[RunResult]:
+    cfg = load_config(path, overrides)
+    if cfg.run_tests:
+        from .selftest import run_selftests
+
+        run_selftests()
+    if cfg.run_benchmarks:
+        from ..bench.microbench import run_reduction_benchmark
+
+        run_reduction_benchmark(cfg.params.nx * cfg.params.ny)
+    if not cfg.run_simulation:
+        return None
+    return run_simulation(cfg, make_folder=make_folder)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    overrides = []
+    paths = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--set" and i + 1 < len(argv):
+            # --set simulation.solver=explicit
+            spec = argv[i + 1]
+            sect_key, _, val = spec.partition("=")
+            sect, _, key = sect_key.partition(".")
+            overrides.append(f"[{sect}]\n{key} = {val}\n")
+            i += 2
+        else:
+            paths.append(argv[i])
+            i += 1
+    if not paths:
+        paths = ["config.ini"]
+
+    ret = 0
+    for path in paths:
+        try:
+            run_config_file(path, overrides)
+        except Exception as e:  # noqa: BLE001 - mirror reference skip-on-error
+            log.error(f"failed to run config '{path}': {e}. Skipping to next config.")
+            ret = 1
+    return ret

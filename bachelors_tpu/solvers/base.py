@@ -61,10 +61,18 @@ def make_stepper(p: SimParams, topo: Topology = Topology()) -> Stepper:
                 stats.step_res_max = stats.step_res_max.at[k].set(r.max.astype(jnp.float32))
             stats.step_res_count = jnp.asarray(len(residuals), jnp.int32)
 
+        # Fixed-dt solvers recompute t = iter*dt instead of accumulating so
+        # the time stays exact to 1 ulp over arbitrarily many steps (the
+        # reference accumulates in host f64, `main.cpp:553`; on TPU the carry
+        # is f32, where naive accumulation would drift).
+        if p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE:
+            t_next = state.t + dt_used.astype(state.t.dtype)
+        else:
+            t_next = (state.iter.astype(state.t.dtype) + 1) * jnp.asarray(p.dt, state.t.dtype)
         new_state = SimState(
             F=next_F,
             U=next_U,
-            t=state.t + dt_used.astype(state.t.dtype),
+            t=t_next,
             iter=state.iter + 1,
             tau=tau_next,
         )

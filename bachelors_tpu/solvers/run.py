@@ -45,6 +45,20 @@ def advance_until(stepper: Stepper, state: SimState, t_stop, max_steps: int = 1 
     return lax.while_loop(cond, body, state)
 
 
+def advance_n(stepper: Stepper, state: SimState, n_steps: int) -> SimState:
+    """Run exactly n_steps (host-determined) with a device-side fori_loop.
+
+    The fixed-dt fast path: the step count for a time interval is exact in
+    host f64 (n = ceil((t_stop - t)/dt)), immune to f32 time rounding.
+    """
+
+    def body(_i, s):
+        s2, _stats = stepper(s)
+        return s2
+
+    return lax.fori_loop(0, n_steps, body, state)
+
+
 def advance_collect(stepper: Stepper, state: SimState, n_steps: int,
                     t_stop=None) -> Tuple[SimState, StepStats, jax.Array]:
     """Run up to ``n_steps`` steps, returning stacked per-step stats.

@@ -1,0 +1,257 @@
+"""Config parsing, snapshot format round-trip, stats CSV schema, driver
+end-to-end, and checkpoint resume."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from bachelors_tpu.core.params import BoundaryType, SolverType
+from bachelors_tpu.io.config import ConfigError, load_config, parse_config, parse_ini
+from bachelors_tpu.io.snapshot import (BIN_MAGIC, load_bin_maps,
+                                       make_save_folder, save_bin_maps)
+from bachelors_tpu.io.stats_io import StatsAccumulator
+from bachelors_tpu.app.driver import run_config_file, run_simulation
+
+CONFIG_TEXT = """
+; reference-style config
+[program]
+run_tests = false
+run_benchmarks = false
+run_simulation = true
+collect_stats = true
+collect_step_residual = false
+interactive = false
+debug = false
+display_min = 0
+display_max = 1
+linear_filtering = false
+collect_stats_every = 0
+print_in_noninteractive = true
+
+[simulation]
+solver = explicit
+T_boundary = neumann
+Phi_boundary = neumann
+stop_after = 0.00002
+scale = 1
+dt = 0.000005
+gamma = 1
+mesh_size_x = 16
+mesh_size_y = 16
+T_tolerance = 5e-9
+Phi_tolerance = 5e-9
+T_max_iters = 20
+Phi_max_iters = 20
+corrector_tolerance = 0
+corrector_max_iters = 3
+do_corrector_loop = false
+do_corrector_guess = false
+do_exact = false
+L = 2
+xi = 0.0043
+a = 2
+b = 1
+alpha = 3
+beta = 1400
+Tm = 1
+Tini = 1
+L0 = 4
+
+S = 0
+m = 6
+theta0 = 0
+
+[initial]
+inside_phi = 1
+outside_phi = 0
+inside_T= 0
+outside_T= 0
+circle_center = 2 2
+circle_radius = 0.2
+circle_fade = 4
+square_from = 0 0
+square_to = 0 0
+
+[snapshot]
+every = 9999 ;inline comment
+times = 2
+folder = snapshots
+prefix =
+postfix =
+snapshot_initial_conditions = 1
+
+[tpu]
+backend = xla
+"""
+
+
+def test_parse_ini_semantics():
+    pairs = parse_ini("[a]\nx = 1 ; c\n# comment\ny: 2\nx = 3\n")
+    assert pairs[("a", "x")] == "3"  # last wins
+    assert pairs[("a", "y")] == "2"
+
+
+def test_parse_config_binds_reference_keys():
+    cfg = parse_config(CONFIG_TEXT)
+    p = cfg.params
+    assert p.solver == SolverType.EXPLICIT_EULER
+    assert p.nx == p.ny == 16
+    assert p.T_boundary == BoundaryType.NEUMANN
+    assert p.dt == pytest.approx(5e-6)
+    assert p.beta == 1400
+    assert cfg.stop_time == pytest.approx(2e-5)
+    assert cfg.initial.circle_center == (2.0, 2.0)
+    assert cfg.snapshot_times == 2
+    assert cfg.params.do_stats  # collect_stats plumbed into params
+
+
+def test_parse_config_scale():
+    cfg = parse_config(CONFIG_TEXT, ["[simulation]\nscale = 2\n"])
+    assert cfg.params.nx == 32
+    assert cfg.params.L0 == pytest.approx(8.0)
+    assert cfg.initial.circle_center == (4.0, 4.0)
+    # dx is scale-invariant (`config.h:481-490`)
+    assert cfg.params.dx == pytest.approx(0.25)
+
+
+def test_parse_config_missing_key_reports_name():
+    bad = CONFIG_TEXT.replace("beta = 1400", "")
+    with pytest.raises(ConfigError, match="beta"):
+        parse_config(bad)
+
+
+def test_overrides_win():
+    cfg = parse_config(CONFIG_TEXT, ["[simulation]\nsolver = semi-implicit\n"])
+    assert cfg.params.solver == SolverType.SEMI_IMPLICIT
+
+
+def test_bin_round_trip(tmp_path, rng):
+    path = str(tmp_path / "maps_0001.bin")
+    F = rng.normal(size=(6, 8))
+    U = rng.normal(size=(6, 8))
+    save_bin_maps(path, {"F": F, "U": U}, 8, 6, 0.5, 0.5, 1.25, 42)
+    snap = load_bin_maps(path)
+    assert snap.nx == 8 and snap.ny == 6
+    assert snap.iter == 42 and snap.time == 1.25
+    np.testing.assert_array_equal(snap.maps["F"], F)
+    np.testing.assert_array_equal(snap.maps["U"], U)
+
+
+def test_bin_layout_matches_reference(tmp_path):
+    """Byte-level layout check against `main.cpp:705-727`."""
+    path = str(tmp_path / "m.bin")
+    F = np.arange(6, dtype=np.float64).reshape(2, 3)
+    save_bin_maps(path, {"F": F}, 3, 2, 0.1, 0.2, 0.3, 7)
+    raw = open(path, "rb").read()
+    magic, count, nx, ny = struct.unpack_from("<iiii", raw, 0)
+    dx, dy, t = struct.unpack_from("<ddd", raw, 16)
+    (it,) = struct.unpack_from("<q", raw, 40)
+    assert (magic, count, nx, ny) == (BIN_MAGIC, 1, 3, 2)
+    assert (dx, dy, t, it) == (0.1, 0.2, 0.3, 7)
+    assert raw[48:80].split(b"\x00")[0] == b"F"
+    np.testing.assert_array_equal(
+        np.frombuffer(raw[80:], dtype=np.float64).reshape(2, 3), F)
+
+
+def test_reference_plot_loader_compat(tmp_path):
+    """Our .bin files load with a re-implementation of plot.py:26-76's
+    reader logic (magic, names, f64 payloads)."""
+    path = str(tmp_path / "m.bin")
+    F = np.random.default_rng(0).normal(size=(4, 5))
+    save_bin_maps(path, {"F": F, "U": F * 2}, 5, 4, 0.5, 0.5, 0.9, 3)
+    with open(path, "rb") as f:
+        magic = np.fromfile(f, dtype=np.int32, count=1)[0]
+        assert magic == 0x11223344
+        map_count, nx, ny = np.fromfile(f, dtype=np.int32, count=3)
+        dx, dy, t = np.fromfile(f, dtype=np.float64, count=3)
+        it = np.fromfile(f, dtype=np.int64, count=1)[0]
+        names = [f.read(32).split(b"\x00")[0].decode() for _ in range(map_count)]
+        data = {n: np.fromfile(f, dtype=np.float64, count=nx * ny).reshape(ny, nx)
+                for n in names}
+    assert names == ["F", "U"]
+    np.testing.assert_allclose(data["U"], F * 2)
+
+
+def test_stats_csv_schema(tmp_path):
+    import jax.numpy as jnp
+
+    from bachelors_tpu.core.params import SimParams
+    from bachelors_tpu.core.state import empty_stats
+
+    acc = StatsAccumulator()
+    s = empty_stats(SimParams())
+    s.t = jnp.float32(0.5)
+    s.iter = jnp.int32(3)
+    s.Phi_iters = jnp.int32(2)
+    s.step_res_count = jnp.int32(2)
+    acc.collect(s)
+    path = str(tmp_path / "stats.csv")
+    acc.save_csv(path, 16, 16, 5e-6)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "16,16,0.000005"
+    assert lines[1].startswith('"time","iter","Phi_iters","T_iters","T_delta_L1"')
+    assert '"step_res_L1[1]"' in lines[1]
+    assert lines[2].startswith("0.5")
+    # append mode on second write
+    acc.collect(s)
+    acc.save_csv(path, 16, 16, 5e-6)
+    lines2 = open(path).read().splitlines()
+    assert len(lines2) == 4
+    assert not lines2[3].startswith('"')
+
+
+def test_driver_end_to_end(tmp_path, monkeypatch):
+    cfg_path = str(tmp_path / "config.ini")
+    open(cfg_path, "w").write(CONFIG_TEXT)
+    monkeypatch.chdir(tmp_path)
+    res = run_config_file(cfg_path)
+    assert res is not None
+    assert res.iters == 4  # stop 2e-5 / dt 5e-6
+    assert res.snapshots == 2
+    folder = res.save_folder
+    files = sorted(os.listdir(folder))
+    assert "config.ini" in files
+    assert "maps_0000.bin" in files and "maps_0002.bin" in files
+    assert "stats.csv" in files
+    snap = load_bin_maps(os.path.join(folder, "maps_0002.bin"))
+    assert snap.time == pytest.approx(2e-5)
+    assert snap.iter == 4
+    assert set(snap.maps) == {"F", "U"}
+    # stats collected every step (collect_stats_every = 0)
+    lines = open(os.path.join(folder, "stats.csv")).read().splitlines()
+    assert len(lines) == 2 + 4
+
+
+def test_driver_resume(tmp_path, monkeypatch):
+    """Run 2 halves vs one full run: fields must match exactly."""
+    monkeypatch.chdir(tmp_path)
+    full_text = CONFIG_TEXT.replace("times = 2", "times = 1")
+    open("full.ini", "w").write(full_text)
+    res_full = run_config_file("full.ini")
+    full_final = load_bin_maps(os.path.join(res_full.save_folder, "maps_0001.bin"))
+
+    half1 = full_text.replace("stop_after = 0.00002", "stop_after = 0.00001")
+    open("half1.ini", "w").write(half1)
+    res1 = run_config_file("half1.ini")
+    mid = os.path.join(res1.save_folder, "maps_0001.bin")
+
+    half2 = full_text + f"\n[initial]\ninit_path = {mid}\n"
+    open("half2.ini", "w").write(half2)
+    res2 = run_config_file("half2.ini")
+    resumed_final = load_bin_maps(os.path.join(res2.save_folder, "maps_0001.bin"))
+
+    assert resumed_final.iter == full_final.iter
+    np.testing.assert_allclose(resumed_final.maps["F"], full_final.maps["F"],
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(resumed_final.maps["U"], full_final.maps["U"],
+                               rtol=0, atol=1e-7)
+
+
+def test_adaptive_driver_runs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    text = CONFIG_TEXT.replace("solver = explicit", "solver = explicit-rk4-adaptive")
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    assert res.sim_time >= 2e-5 - 1e-16
+    assert res.snapshots == 2
