@@ -1,17 +1,349 @@
-"""Fused Pallas RHS kernel (single HBM pass: blend + BC + stencil + physics).
+"""Fused Pallas RHS kernel: blend + boundary conditions + stencil + physics
+in a single HBM pass.
 
-Placeholder gate: the fused kernel lands in the next milestone; until then
-``supports()`` returns False so the auto backend uses the XLA path.
+The TPU analog of the reference's one-fused-kernel-per-RK-stage design
+(``explicit_solver_solve_lin_combination`` + ``cuda_tiled_for_2D``,
+`simulation.cu:145-243`, `cuda_for.cuh:219-339`).  Where the reference
+stages tiles through CUDA shared memory with a gather lambda implementing
+the BCs, this kernel:
+
+  * grids over row-blocks of the (ny, nx) fields; Mosaic pipelines
+    HBM->VMEM block transfers automatically (the tiled-for + launch
+    configurator of the reference collapse into BlockSpecs);
+  * passes every field three times -- the (TILE, nx) center block plus two
+    (8, nx) halo row-groups (Mosaic's minimum sublane granularity) whose
+    *index maps* encode the boundary condition (wrap for periodic, clamp for
+    Neumann, clamp + in-kernel mirror for Dirichlet).  Total read
+    amplification is only (1 + 16/TILE);
+  * blends up to 4 states in VMEM (RK stage linear combinations never touch
+    HBM);
+  * handles the x-direction halo with in-VMEM shifts and edge-column fixups.
+
+Weights are runtime scalars (tau-dependent in the adaptive solver) fed
+through SMEM; physics coefficients are compile-time constants folded into
+the kernel (like the reference's per-launch closures).
 """
 from __future__ import annotations
 
-from ..core.params import SimParams
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import BoundaryType, SimParams
+
+# VMEM working-set budget for choosing the row-tile height (bytes).
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def supports(p: SimParams) -> bool:
-    return False
+def _tile_y(ny: int, nx: int, n_states: int, itemsize: int) -> int:
+    """Largest row-tile (multiple of 8, divides ny) whose pipelined working
+    set fits the VMEM budget."""
+    for ty in (512, 256, 128, 64, 32, 16, 8):
+        if ny % ty != 0:
+            continue
+        # 2*n_states input blocks (+halo rows) + 2 output blocks, double
+        # buffered by the pipeline; shifted temporaries add ~4 block copies.
+        working = (2 * n_states * (ty + 2) + 2 * ty) * nx * itemsize * 2
+        working += 4 * ty * nx * itemsize
+        if working <= _VMEM_BUDGET:
+            return ty
+    return 0
+
+
+def supports(p: SimParams, n_states: int = 4) -> bool:
+    """Whether the fused kernel handles this config (else the XLA path)."""
+    if p.dtype != "float32":
+        return False
+    if p.nx % 128 != 0 or p.ny % 8 != 0:
+        return False
+    if p.ny < 16:
+        return False
+    if p.S != 0.0 and not (float(p.m0).is_integer() and p.m0 >= 1):
+        # anisotropy needs the integer-m0 Chebyshev recurrence (no atan2 on
+        # the Mosaic VPU); non-integer m0 falls back to the XLA path
+        return False
+    return _tile_y(p.ny, p.nx, n_states, 4) >= 8
+
+
+def _roll(A, shift, axis):
+    """Circular shift with jnp.roll semantics, lowered to the VPU's
+    lane/sublane rotate (far cheaper than concatenate-built shifts).
+    pltpu.roll requires a non-negative shift."""
+    return pltpu.roll(A, shift % A.shape[axis], axis)
+
+
+def _col_mask(A, col):
+    ids = jax.lax.broadcasted_iota(jnp.int32, A.shape, dimension=1)
+    return ids == col
+
+
+def _row_mask(A, row):
+    ids = jax.lax.broadcasted_iota(jnp.int32, A.shape, dimension=0)
+    return ids == row
+
+
+def _shift_x(A, bc: BoundaryType, d_eff):
+    """East/west neighbors of every cell in a (rows, nx) block.
+
+    Rotate + fix the single wrapped edge column via an iota mask; for
+    periodic BCs the rotation is already exact.
+    """
+    nx = A.shape[1]
+    east = _roll(A, -1, 1)
+    west = _roll(A, 1, 1)
+    if bc == BoundaryType.NEUMANN:
+        east = jnp.where(_col_mask(A, nx - 1), A, east)
+        west = jnp.where(_col_mask(A, 0), A, west)
+    elif bc == BoundaryType.DIRICHLET:
+        east = jnp.where(_col_mask(A, nx - 1), 2 * d_eff - A, east)
+        west = jnp.where(_col_mask(A, 0), 2 * d_eff - A, west)
+    return east, west
+
+
+def _pick_halo_rows(center, north_grp, south_grp, bc: BoundaryType, d_eff):
+    """Select the true (1, nx) halo rows out of the (8, nx) halo groups.
+
+    Row positions within the groups (see ``_specs`` index maps):
+      * periodic: north = group row 0, south = group row 7 (wrap maps);
+      * clamp (Neumann/Dirichlet): north = row 0 except at the last program
+        where the clamped map lands on the final block (row 7); south = row
+        7 except at program 0 (row 0).  Dirichlet then mirrors at the two
+        global edges: ghost = 2*d - edge_row.
+    """
+    if bc == BoundaryType.PERIODIC:
+        return north_grp[0:1], south_grp[7:8]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    north_row = jnp.where(i == n - 1, north_grp[7:8], north_grp[0:1])
+    south_row = jnp.where(i == 0, south_grp[0:1], south_grp[7:8])
+    if bc == BoundaryType.DIRICHLET:
+        south_row = jnp.where(i == 0, 2 * d_eff - center[:1], south_row)
+        north_row = jnp.where(i == n - 1, 2 * d_eff - center[-1:], north_row)
+    return north_row, south_row
+
+
+def _make_kernel(p: SimParams, n_states: int, is_euler: bool, with_fu: bool):
+    dx, dy = p.dx, p.dy
+    inv_2dx = 1.0 / (2 * dx)
+    inv_2dy = 1.0 / (2 * dy)
+    inv_dx2 = 1.0 / (dx * dx)
+    inv_dy2 = 1.0 / (dy * dy)
+    k0_factor = p.a / (p.xi * p.xi * p.alpha)
+    k2_factor = p.b * p.beta / p.alpha
+    k1_factor = 1.0 / p.alpha
+    dt_L = p.dt * p.L
+    f_bc = p.Phi_boundary
+    u_bc = p.T_boundary
+
+    def kernel(*refs):
+        # refs: scalars_ref, then per-state (Fc, Fn, Fs, Uc, Un, Us), then
+        # out_F, out_U
+        scal = refs[0]
+        ins = refs[1:1 + 6 * n_states]
+        out_F, out_U = refs[1 + 6 * n_states:]
+
+        d_eff = scal[0, n_states]
+        fu = scal[0, n_states + 1] if with_fu else 0.0
+
+        def blended(base, bc):
+            # first weight is exactly 1.0 at every call site: skip the
+            # multiply (3 full-block VPU passes saved in the 1-state case)
+            c = ins[base][:]
+            ng = ins[base + 1][:]
+            sg = ins[base + 2][:]
+            for k in range(1, n_states):
+                w = scal[0, k]
+                c = c + ins[base + 6 * k][:] * w
+                ng = ng + ins[base + 6 * k + 1][:] * w
+                sg = sg + ins[base + 6 * k + 2][:] * w
+            n, s = _pick_halo_rows(c, ng, sg, bc, d_eff)
+            return c, n, s
+
+        Fc, Fn, Fs = blended(0, f_bc)
+        Uc, Un, Us = blended(3, u_bc)
+
+        # y-neighbors: sublane-rotate rows within the block, splice the halo
+        # rows at the seams via row masks
+        ty = Fc.shape[0]
+
+        def shift_y(C, n_row, s_row):
+            N = jnp.where(_row_mask(C, ty - 1), n_row, _roll(C, -1, 0))
+            S = jnp.where(_row_mask(C, 0), s_row, _roll(C, 1, 0))
+            return N, S
+
+        F_N, F_S = shift_y(Fc, Fn, Fs)
+        U_N, U_S = shift_y(Uc, Un, Us)
+        # x-neighbors: in-VMEM shifts with BC edge columns
+        F_E, F_W = _shift_x(Fc, f_bc, d_eff)
+        U_E, U_W = _shift_x(Uc, u_bc, d_eff)
+
+        lap_F = (F_W - 2 * Fc + F_E) * inv_dx2 + (F_S - 2 * Fc + F_N) * inv_dy2
+        lap_U = (U_W - 2 * Uc + U_E) * inv_dx2 + (U_S - 2 * Uc + U_N) * inv_dy2
+
+        gx = (F_E - F_W) * inv_2dx
+        gy = (F_N - F_S) * inv_2dy
+        grad_norm = jnp.sqrt(gx * gx + gy * gy)
+        k2 = grad_norm * k2_factor
+
+        if p.S == 0.0:
+            # isotropic fast path (the benchmark configs): g == 1
+            k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
+            k1_lap_F = lap_F * k1_factor
+        else:
+            # Mosaic has no atan2; for integer anisotropy frequency m0 the
+            # term cos(m0*atan2(gy,gx) + theta0) is computed exactly via the
+            # angle-addition recurrence on (cos t, sin t) = (gx, gy)/|grad|:
+            #   cos((k+1)t) = cos(kt) c - sin(kt) s, sin((k+1)t) = sin(kt) c + cos(kt) s
+            # (atan2(0,0) == 0 in the reference -> (c, s) = (1, 0) there).
+            safe = grad_norm > 0
+            inv_r = jnp.where(safe, 1.0 / jnp.where(safe, grad_norm, 1.0), 0.0)
+            c = jnp.where(safe, gx * inv_r, 1.0)
+            s = jnp.where(safe, gy * inv_r, 0.0)
+            ck, sk = c, s
+            for _ in range(int(p.m0) - 1):
+                ck, sk = ck * c - sk * s, sk * c + ck * s
+            cos_m = ck * math.cos(p.theta0) - sk * math.sin(p.theta0)
+            g_theta = 1 - p.S * cos_m
+            k0 = g_theta * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
+            k1_lap_F = g_theta * lap_F * k1_factor
+
+        if p.do_corrector_guess:
+            corr = 1 + k2 * dt_L
+            dt_F = (k1_lap_F + k0 - k2 * (Uc - p.Tm + p.dt * lap_U)) / corr
+        else:
+            dt_F = k1_lap_F + k0 - k2 * (Uc - p.Tm)
+        dt_U = lap_U + p.L * dt_F + fu
+
+        if is_euler:
+            out_F[:] = Fc + p.dt * dt_F
+            out_U[:] = Uc + p.dt * dt_U
+        else:
+            out_F[:] = dt_F
+            out_U[:] = dt_U
+
+    return kernel
+
+
+def _specs(p: SimParams, ty: int, n_states: int):
+    """Block specs: center (ty, nx) blocks + (8, nx) halo row-groups.
+
+    Halo index maps are in 8-row-block units (ty is a multiple of 8):
+      * north halo = the row-group starting at row (i+1)*ty: group index
+        i*g + g with g = ty/8, wrapped (periodic) or clamped (else); under
+        clamping the last program lands on the final group, where the wanted
+        row ny-1 sits at offset 7 (handled in ``_pick_halo_rows``).
+      * south halo = the row-group containing row i*ty - 1: group index
+        i*g - 1, wrapped or clamped; offset 7 normally, offset 0 at the
+        clamped first program.
+    """
+    ny, nx = p.ny, p.nx
+    g = ty // 8
+    n_groups = ny // 8
+
+    def center(i):
+        return (i, 0)
+
+    def make_row_maps(bc: BoundaryType):
+        if bc == BoundaryType.PERIODIC:
+            def north(i):
+                return (((i + 1) * g) % n_groups, 0)
+
+            def south(i):
+                return ((i * g - 1) % n_groups, 0)
+        else:  # clamp (Neumann semantics; Dirichlet fixed up in-kernel)
+            def north(i):
+                return (jnp.minimum((i + 1) * g, n_groups - 1), 0)
+
+            def south(i):
+                return (jnp.maximum(i * g - 1, 0), 0)
+        return north, south
+
+    f_north, f_south = make_row_maps(p.Phi_boundary)
+    u_north, u_south = make_row_maps(p.T_boundary)
+
+    in_specs = [pl.BlockSpec((1, n_states + 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    for _ in range(n_states):
+        in_specs += [
+            pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), f_north, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), f_south, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), u_north, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), u_south, memory_space=pltpu.VMEM),
+        ]
+    out_specs = [
+        pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+    ]
+    return in_specs, out_specs
+
+
+@functools.partial(jax.jit, static_argnames=("p", "n_states", "is_euler", "interpret"))
+def _call(p: SimParams, n_states: int, is_euler: bool, interpret: bool,
+          scalars, *fields):
+    ty = _tile_y(p.ny, p.nx, n_states, 4)
+    in_specs, out_specs = _specs(p, ty, n_states)
+    kernel = _make_kernel(p, n_states, is_euler, with_fu=True)
+    shape = jax.ShapeDtypeStruct((p.ny, p.nx), jnp.float32)
+    flops_per_cell = 40 + (60 if p.S != 0.0 else 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p.ny // ty,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[shape, shape],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * p.N * (1 + (n_states - 1) * 2),
+            bytes_accessed=(2 * n_states + 2) * p.N * 4,
+            transcendentals=(2 * p.N if p.S != 0.0 else p.N),
+        ),
+    )(scalars, *fields)
+    return out[0], out[1]
+
+
+def blend_rhs_pallas(
+    states: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    weights: Sequence,
+    p: SimParams,
+    fu=0.0,
+    dirichlet_value=0.0,
+    is_euler: bool = False,
+    interpret: bool = False,
+):
+    """Evaluate the RHS at ``sum_i w_i * (F_i, U_i)`` in one fused pass.
+
+    Same contract as ``ops.rhs.eval_rhs`` (dirichlet_value here is the
+    *effective* value for the blended field, i.e. already scaled by
+    sum(weights) when nonzero -- see ops/rhs.py).
+    """
+    n = len(states)
+    if not 1 <= n <= 4:
+        raise ValueError(f"1..4 blend states supported, got {n}")
+    if isinstance(weights[0], (int, float)) and float(weights[0]) != 1.0:
+        raise ValueError("first blend weight must be 1.0 (base state); every "
+                         "integrator stage has this form")
+    w = jnp.zeros((1, n + 2), jnp.float32)
+    for k, wk in enumerate(weights):
+        w = w.at[0, k].set(jnp.asarray(wk, jnp.float32))
+    w = w.at[0, n].set(jnp.asarray(dirichlet_value, jnp.float32))
+    w = w.at[0, n + 1].set(jnp.asarray(fu, jnp.float32))
+
+    fields = []
+    for F, U in states:
+        fields += [F, F, F, U, U, U]  # center + 2 halo-row views of the same array
+    return _call(p, n, is_euler, interpret, w, *fields)
 
 
 def rhs_pallas(Fb, Ub, p: SimParams, fu=0.0, dirichlet_value=0.0,
-               is_euler: bool = False):
-    raise NotImplementedError("pallas RHS backend not available yet")
+               is_euler: bool = False, interpret: bool = False):
+    """Single-state entry used by ops.rhs once states are pre-blended."""
+    return blend_rhs_pallas([(Fb, Ub)], [1.0], p, fu=fu,
+                            dirichlet_value=dirichlet_value,
+                            is_euler=is_euler, interpret=interpret)

@@ -61,18 +61,18 @@ def eval_rhs(
 
     Returns (dPhi_dt, dT_dt).
     """
-    Fb, Ub = _blend_states(states, weights)
     if dirichlet_value == 0.0:
         d_eff = 0.0
     else:
         d_eff = dirichlet_value * _weight_sum(weights)
 
-    backend = _resolve_backend(p, topo)
+    backend = _resolve_backend(p, topo, len(states))
     if backend == "pallas":
-        from .pallas_rhs import rhs_pallas
+        from .pallas_rhs import blend_rhs_pallas
 
-        return rhs_pallas(Fb, Ub, p, fu=fu, dirichlet_value=d_eff)
+        return blend_rhs_pallas(states, weights, p, fu=fu, dirichlet_value=d_eff)
 
+    Fb, Ub = _blend_states(states, weights)
     Fp = topo.pad(Fb, p.Phi_boundary, d_eff)
     Up = topo.pad(Ub, p.T_boundary, d_eff)
     return rhs_padded(Fp, Up, p, fu)
@@ -83,32 +83,40 @@ def euler_eval(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Euler write ``x + dt * f(x)`` (the IS_EULER=true kernel mode,
     `simulation.cu:231-240`)."""
-    Fb, Ub = _blend_states(states, weights)
-    backend = _resolve_backend(p, topo)
+    backend = _resolve_backend(p, topo, len(states))
     if backend == "pallas":
-        from .pallas_rhs import rhs_pallas
+        from .pallas_rhs import blend_rhs_pallas
 
-        return rhs_pallas(Fb, Ub, p, fu=fu, dirichlet_value=dirichlet_value,
-                          is_euler=True)
+        return blend_rhs_pallas(states, weights, p, fu=fu,
+                                dirichlet_value=dirichlet_value, is_euler=True)
+    Fb, Ub = _blend_states(states, weights)
     Fp = topo.pad(Fb, p.Phi_boundary, dirichlet_value)
     Up = topo.pad(Ub, p.T_boundary, dirichlet_value)
     dF, dU = rhs_padded(Fp, Up, p, fu)
     return Fb + p.dt * dF, Ub + p.dt * dU
 
 
-def _resolve_backend(p: SimParams, topo: Topology) -> str:
+def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1) -> str:
     if p.backend == "xla":
         return "xla"
+    if topo.is_sharded:
+        # sharded fields need the halo-exchange pad; the in-kernel BC logic
+        # only sees the local shard (the pallas-inside-shard_map path is a
+        # future optimization)
+        return "xla"
+    from .pallas_rhs import supports
+
     if p.backend == "pallas":
+        if not supports(p, n_states):
+            raise ValueError(
+                f"backend='pallas' requested but unsupported for {p.ny}x{p.nx} "
+                f"dtype={p.dtype}")
         return "pallas"
-    # auto: fused Pallas kernel on real TPU, single-chip, row counts that
-    # tile cleanly; jnp/XLA everywhere else (it is within ~20% anyway).
+    # auto: fused Pallas kernel on real TPU when the config tiles cleanly
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         on_tpu = False
-    if not on_tpu or topo.is_sharded:
+    if not on_tpu:
         return "xla"
-    from .pallas_rhs import supports
-
-    return "pallas" if supports(p) else "xla"
+    return "pallas" if supports(p, n_states) else "xla"

@@ -1,0 +1,112 @@
+"""Fused Pallas RHS kernel vs the jnp oracle (interpret mode on CPU).
+
+Randomized equivalence in the spirit of the reference's tiled-for tests
+(`cuda_for.cuh:440-628`): random fields, every BC, blends of 1-4 states,
+euler mode, dirichlet values, forcing.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bachelors_tpu.core.params import BoundaryType, SimParams
+from bachelors_tpu.models.allen_cahn import blend, rhs_padded
+from bachelors_tpu.core.boundary import pad2
+from bachelors_tpu.ops.pallas_rhs import blend_rhs_pallas, supports
+
+BCS = [BoundaryType.PERIODIC, BoundaryType.NEUMANN, BoundaryType.DIRICHLET]
+
+
+def params(bc=BoundaryType.NEUMANN, **kw):
+    base = dict(nx=128, ny=32, L0=4.0, dt=5e-6, S=0.3, m0=6.0, theta0=0.1,
+                T_boundary=bc, Phi_boundary=bc, dtype="float32")
+    base.update(kw)
+    return SimParams(**base)
+
+
+def oracle(states, weights, p, fu=0.0, d=0.0, is_euler=False):
+    Fb = blend([jnp.asarray(s[0], jnp.float32) for s in states], weights)
+    Ub = blend([jnp.asarray(s[1], jnp.float32) for s in states], weights)
+    Fp = pad2(Fb, p.Phi_boundary, d)
+    Up = pad2(Ub, p.T_boundary, d)
+    dF, dU = rhs_padded(Fp, Up, p, fu)
+    if is_euler:
+        return Fb + p.dt * dF, Ub + p.dt * dU
+    return dF, dU
+
+
+def rand_states(rng, p, n):
+    return [(rng.normal(size=(p.ny, p.nx)).astype(np.float32),
+             rng.normal(size=(p.ny, p.nx)).astype(np.float32))
+            for _ in range(n)]
+
+
+def assert_match(got, want, atol=2e-5):
+    a, b = np.asarray(got), np.asarray(want)
+    scale = max(np.abs(b).max(), 1.0)
+    np.testing.assert_allclose(a, b, atol=atol * scale, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bc", BCS)
+def test_kernel_single_state(bc, rng):
+    p = params(bc)
+    assert supports(p)
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, interpret=True)
+    want = oracle([(F, U)], [1.0], p)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_kernel_blends(n, rng):
+    p = params(BoundaryType.NEUMANN)
+    states = rand_states(rng, p, n)
+    weights = [1.0] + [float(rng.normal()) * 1e-2 for _ in range(n - 1)]
+    got = blend_rhs_pallas(states, weights, p, interpret=True)
+    want = oracle(states, weights, p)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+def test_kernel_euler_mode(rng):
+    p = params(BoundaryType.PERIODIC, S=0.0)
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, is_euler=True, interpret=True)
+    want = oracle([(F, U)], [1.0], p, is_euler=True)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+def test_kernel_corrector_guess_and_fu(rng):
+    p = params(BoundaryType.NEUMANN, do_corrector_guess=True)
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, fu=0.321, interpret=True)
+    want = oracle([(F, U)], [1.0], p, fu=0.321)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+def test_kernel_dirichlet_value(rng):
+    p = params(BoundaryType.DIRICHLET)
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, dirichlet_value=0.25, interpret=True)
+    want = oracle([(F, U)], [1.0], p, d=0.25)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+def test_kernel_multi_tile(rng):
+    """ny large enough for several grid programs; seam rows must be exact."""
+    p = params(BoundaryType.NEUMANN, ny=256, nx=128, S=0.0)
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, interpret=True)
+    want = oracle([(F, U)], [1.0], p)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+def test_supports_gates():
+    assert not supports(params(dtype="float64"))
+    assert not supports(params(nx=100))
+    assert not supports(params(ny=12))
+    assert supports(params(nx=2048, ny=2048))
