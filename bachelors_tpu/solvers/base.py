@@ -128,8 +128,17 @@ def make_stepper(p: SimParams, topo: Topology = Topology()) -> Stepper:
     if p.solver == SolverType.EXACT:
 
         def step(state: SimState):
+            from jax import lax
+
             dtype = jnp.dtype(p.dtype)
-            r = exact_mod.radius_grid(p.nx, p.ny, p.L0, dtype)
+            ly, lx = state.F.shape
+            # local offsets when the grid is sharded over the mesh
+            y0 = lax.axis_index(topo.axis_y) * ly if topo.axis_y else 0
+            x0 = lax.axis_index(topo.axis_x) * lx if topo.axis_x else 0
+            dx, dy = p.dx, p.dy
+            xs = (jnp.arange(lx, dtype=dtype) + x0 + 0.5) * dx - p.L0 / 2
+            ys = (jnp.arange(ly, dtype=dtype) + y0 + 0.5) * dy - p.L0 / 2
+            r = jnp.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2)
             t = state.t.astype(dtype)
             nU = exact_mod.exact_u(t, r).astype(dtype)
             nF = exact_mod.exact_phi(t, r).astype(dtype)

@@ -1,0 +1,81 @@
+"""Headline benchmark: cell-updates/sec at 2048^2 explicit-RK4 (BASELINE.json).
+
+Reference number to beat: A100 RK4 at 2048^2 = 2.34 ms/step = 1.79e9
+cell-steps/s (`BASELINE.md`, `benchmark_ellapsed_times.txt:111`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Timing method: two device-side fori_loop runs (K big, k small) bracketed by
+forced scalar fetches; (T_big - T_small)/(K - k) cancels dispatch/sync
+overhead of the tunnel, mirroring the reference's percentile-trimmed
+median harness intent (`simulation.cu:1193-1267`).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+
+import bachelors_tpu as bt
+from bachelors_tpu.solvers.run import advance_n
+
+BASELINE_RK4_CELLS_PER_S = 1.79e9  # A100, 2048^2, f64
+BASELINE_EULER_STEP_MS = 0.44      # A100 Euler step time at 2048^2
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def time_steps(p, k_big, k_small):
+    F, U = bt.make_initial_fields(p, bt.InitialConditions(
+        circle_center=(p.L0 / 2, p.L0 / 2), circle_radius=p.L0 / 80))
+    st0 = bt.make_state(F, U, p)
+    step = bt.make_stepper(p)
+    adv = jax.jit(lambda s, n: advance_n(step, s, n), static_argnums=1)
+
+    sync(adv(st0, k_small).F)   # compile small
+    sync(adv(st0, k_big).F)     # compile big
+    t0 = time.perf_counter()
+    sync(adv(st0, k_small).F)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(adv(st0, k_big).F)
+    t_big = time.perf_counter() - t0
+    return (t_big - t_small) / (k_big - k_small)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    n = 2048 if on_tpu else 256
+    k_big, k_small = (2000, 16) if on_tpu else (50, 4)
+
+    p = bt.SimParams(nx=n, ny=n, solver=bt.SolverType.EXPLICIT_RK4,
+                     dt=5e-6, S=0.0, dtype="float32")
+    sec_per_step = time_steps(p, k_big, k_small)
+    cells_per_s = n * n / sec_per_step
+
+    p_e = p.replace(solver=bt.SolverType.EXPLICIT_EULER)
+    euler_sec = time_steps(p_e, k_big, k_small)
+
+    out = {
+        "metric": f"cell-updates/sec/chip, {n}^2 explicit-RK4 (f32)",
+        "value": round(cells_per_s, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_s / BASELINE_RK4_CELLS_PER_S, 3),
+        "rk4_step_ms": round(sec_per_step * 1e3, 4),
+        "euler_step_ms": round(euler_sec * 1e3, 4),
+        "euler_vs_baseline": round(BASELINE_EULER_STEP_MS / (euler_sec * 1e3), 3),
+        "grid": n,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
