@@ -229,6 +229,11 @@ def run_config_file(path: str, overrides: Optional[List[str]] = None,
         run_reduction_benchmark(cfg.params.nx * cfg.params.ny)
     if not cfg.run_simulation:
         return None
+    if cfg.interactive:
+        from .viewer import run_interactive
+
+        run_interactive(cfg)
+        return None
     return run_simulation(cfg, make_folder=make_folder)
 
 

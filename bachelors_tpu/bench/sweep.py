@@ -1,0 +1,175 @@
+"""Benchmark config sweep: generate + run the reference's grid ladder.
+
+The analog of `benchmark_configs/generator.py`: emits one INI per
+(solver, scale) with the benchmark workload -- coupled equations, Neumann
+BCs, isotropic S=0, stop_after=0.04, dt=5e-6, base mesh 512 scaled by
+{0.25, 0.5, 1, 2, 4} -> 128^2..2048^2 (`generator.py:228-245`) -- and runs
+them locally, collecting total runtimes into a JSON report (replacing the
+PBS/qsub cluster scripts, `generator.py:203-226`, which target a scheduler
+this framework does not need: one TPU host runs the whole ladder).
+
+CLI:
+  python -m bachelors_tpu.bench.sweep generate [outdir]
+  python -m bachelors_tpu.bench.sweep run [outdir] [--solver S] [--report f]
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+from ..utils.logging import get_logger
+
+log = get_logger("sweep")
+
+SOLVERS = ("explicit", "explicit-rk4", "explicit-rk4-adaptive", "semi-implicit")
+SCALES = (0.25, 0.5, 1.0, 2.0, 4.0)
+BASE_MESH = 512
+
+_TEMPLATE = """\
+; generated benchmark config: solver={solver} scale={scale} mesh={mesh}^2
+[program]
+run_tests = false
+run_benchmarks = false
+run_simulation = true
+collect_stats = false
+collect_step_residual = false
+interactive = false
+display_min = 0
+display_max = 1
+linear_filtering = false
+collect_stats_every = 0
+print_in_noninteractive = true
+
+[simulation]
+solver = {solver}
+T_boundary = neumann
+Phi_boundary = neumann
+stop_after = 0.04
+scale = {scale}
+dt = 0.000005
+min_dt = 1e-9
+gamma = 1
+mesh_size_x = {base}
+mesh_size_y = {base}
+T_tolerance = 5e-9
+Phi_tolerance = 5e-9
+T_max_iters = 20
+Phi_max_iters = 20
+corrector_tolerance = 0
+corrector_max_iters = 3
+do_corrector_loop = false
+do_corrector_guess = false
+do_exact = false
+L = 2
+xi = 0.0043
+a = 2
+b = 1
+alpha = 3
+beta = 1400
+Tm = 1
+L0 = 4
+
+S = 0
+m = 6
+theta0 = 0
+
+[initial]
+inside_phi = 1
+outside_phi = 0
+inside_T = 0
+outside_T = 0
+circle_center = 2 2
+circle_radius = 0.05
+circle_fade = 0
+square_from = 0 0
+square_to = 0 0
+
+[snapshot]
+every = 9999
+times = {times}
+folder = {folder}
+prefix = {prefix}
+postfix =
+snapshot_initial_conditions = 0
+"""
+
+
+def config_name(solver: str, scale: float) -> str:
+    mesh = int(BASE_MESH * scale)
+    return f"config_{solver}_{mesh}.ini"
+
+
+def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
+                     scales: Sequence[float] = SCALES,
+                     snapshots: int = 0) -> List[str]:
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for solver in solvers:
+        for scale in scales:
+            mesh = int(BASE_MESH * scale)
+            text = _TEMPLATE.format(solver=solver, scale=scale, base=BASE_MESH,
+                                    mesh=mesh, times=snapshots,
+                                    folder="sweep_out",
+                                    prefix=f"{solver}_{mesh}_")
+            path = os.path.join(outdir, config_name(solver, scale))
+            with open(path, "w") as f:
+                f.write(text)
+            paths.append(path)
+    log.okay(f"generated {len(paths)} configs in {outdir}")
+    return paths
+
+
+def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
+              scales: Sequence[float] = SCALES,
+              report_path: Optional[str] = None) -> Dict:
+    """Run the ladder, returning {solver: {mesh: {runtime, iters, ...}}}.
+
+    Mirrors the reference's measured artifact
+    (`benchmark_ellapsed_times.txt`)."""
+    from ..app.driver import run_config_file
+
+    results: Dict[str, Dict[int, dict]] = {}
+    for solver in solvers:
+        results[solver] = {}
+        for scale in scales:
+            mesh = int(BASE_MESH * scale)
+            path = os.path.join(outdir, config_name(solver, scale))
+            if not os.path.exists(path):
+                generate_configs(outdir, [solver], [scale])
+            res = run_config_file(path, make_folder=False)
+            results[solver][mesh] = dict(
+                runtime_s=res.runtime, iters=res.iters,
+                avg_step_ms=res.avg_step_ms,
+                cell_updates_per_s=mesh * mesh * res.iters / res.runtime)
+            log.info(f"{solver} {mesh}^2: {res.runtime:.2f}s "
+                     f"({res.avg_step_ms:.3f} ms/step)")
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(results, f, indent=2)
+        log.okay(f"wrote {report_path}")
+    return results
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("command", choices=["generate", "run"])
+    ap.add_argument("outdir", nargs="?", default="benchmark_configs")
+    ap.add_argument("--solver", action="append", default=None)
+    ap.add_argument("--scale", action="append", type=float, default=None)
+    ap.add_argument("--report", default="sweep_report.json")
+    args = ap.parse_args(argv)
+
+    solvers = args.solver or list(SOLVERS)
+    scales = args.scale or list(SCALES)
+    if args.command == "generate":
+        generate_configs(args.outdir, solvers, scales)
+    else:
+        run_sweep(args.outdir, solvers, scales, report_path=args.report)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

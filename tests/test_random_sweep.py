@@ -1,0 +1,75 @@
+"""RNG/noise fields + benchmark sweep generator."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from bachelors_tpu.bench import sweep
+from bachelors_tpu.io.config import load_config
+from bachelors_tpu.ops.random import perlin2d, perlin2d_octaves, random_map
+
+
+class TestRandom:
+    def test_uniform_map(self):
+        x = np.asarray(random_map(jax.random.PRNGKey(0), (64, 64), 2.0, 5.0))
+        assert x.shape == (64, 64)
+        assert 2.0 <= x.min() and x.max() <= 5.0
+        assert x.std() > 0.5
+
+    def test_perlin_smoothness_and_range(self):
+        x = np.asarray(perlin2d(jax.random.PRNGKey(1), (128, 128), (8, 8)))
+        assert np.abs(x).max() <= 1.0 + 1e-5
+        # smooth: neighbor diffs far smaller than field range
+        dn = np.abs(np.diff(x, axis=0)).max()
+        assert dn < 0.2 * (x.max() - x.min())
+
+    def test_perlin_periodic(self):
+        x = np.asarray(perlin2d(jax.random.PRNGKey(2), (128, 128), (4, 4)))
+        # wrap continuity: first/last row diff at the seam is smooth-scale
+        seam = np.abs(x[0] - x[-1]).max()
+        interior = np.abs(np.diff(x, axis=0)).max()
+        assert seam < 3 * interior
+
+    def test_octaves_renormalized(self):
+        x = np.asarray(perlin2d_octaves(jax.random.PRNGKey(3), (64, 64)))
+        assert x.min() == pytest.approx(0.0, abs=1e-6)
+        assert x.max() == pytest.approx(1.0, abs=1e-6)
+
+    def test_reproducible(self):
+        a = np.asarray(perlin2d(jax.random.PRNGKey(7), (32, 32)))
+        b = np.asarray(perlin2d(jax.random.PRNGKey(7), (32, 32)))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSweep:
+    def test_generate_matches_reference_ladder(self, tmp_path):
+        paths = sweep.generate_configs(str(tmp_path))
+        assert len(paths) == 4 * 5
+        names = {os.path.basename(p) for p in paths}
+        assert "config_explicit_128.ini" in names
+        assert "config_semi-implicit_2048.ini" in names
+
+    def test_generated_configs_parse_and_scale(self, tmp_path):
+        sweep.generate_configs(str(tmp_path), ["explicit"], [0.25, 2.0])
+        cfg = load_config(str(tmp_path / "config_explicit_128.ini"))
+        assert cfg.params.nx == 128
+        assert cfg.params.dx == pytest.approx(4.0 / 512)  # dx scale-invariant
+        cfg2 = load_config(str(tmp_path / "config_explicit_1024.ini"))
+        assert cfg2.params.nx == 1024
+        assert cfg2.params.dx == pytest.approx(4.0 / 512)
+        assert cfg2.stop_time == pytest.approx(0.04)
+
+    def test_run_sweep_tiny(self, tmp_path, monkeypatch):
+        """End-to-end micro-sweep (tiny grid via custom scale)."""
+        monkeypatch.chdir(tmp_path)
+        out = str(tmp_path / "cfgs")
+        sweep.generate_configs(out, ["explicit"], [1 / 16])
+        # shorten the workload for test time
+        p = os.path.join(out, "config_explicit_32.ini")
+        text = open(p).read().replace("stop_after = 0.04", "stop_after = 0.0001")
+        open(p, "w").write(text)
+        res = sweep.run_sweep(out, ["explicit"], [1 / 16],
+                              report_path=str(tmp_path / "r.json"))
+        assert res["explicit"][32]["iters"] == 20
+        assert os.path.exists(tmp_path / "r.json")
