@@ -32,7 +32,9 @@ class LogSystem:
     ``log_system_set_logger`` (`main.cpp:279-281`)."""
 
     def __init__(self):
-        self.console: TextIO = sys.stderr
+        # resolved at emit time so stream redirection (pytest capture, etc.)
+        # is respected
+        self.console: Optional[TextIO] = None
         self.file: Optional[TextIO] = None
         self.min_level = os.environ.get("BTPU_LOG_LEVEL", "INFO")
         self.indent = 0
@@ -53,7 +55,8 @@ class LogSystem:
         stamp = time.strftime("%H:%M:%S")
         line = f"{stamp} {level:5s} [{module}] {pad}{msg}"
         color = _COLORS.get(level, "") if self.use_color else ""
-        print(f"{color}{line}{_RESET if color else ''}", file=self.console)
+        console = self.console if self.console is not None else sys.stderr
+        print(f"{color}{line}{_RESET if color else ''}", file=console)
         if self.file is not None:
             self.file.write(line + "\n")
             self.file.flush()
