@@ -127,7 +127,24 @@ def _pick_halo_rows(center, north_grp, south_grp, bc: BoundaryType, d_eff):
     return north_row, south_row
 
 
-def _make_kernel(p: SimParams, n_states: int, is_euler: bool, with_fu: bool):
+# Kernel output modes:
+#   "rhs":         out = (dPhi_dt, dT_dt)
+#   "euler":       out = blend + dt * rhs(blend)        (states[0] is x)
+#   "rk4_combine": blend = x + dt*k3 (states [x, k3]); extra center inputs
+#                  [k1_F, k1_U, k2_F, k2_U]; computes k4 = rhs(blend) and
+#                  writes the full RK4 combination
+#                  x + dt/6 (k1 + 2 k2 + 2 k3 + k4) -- k4 never touches HBM.
+#   "rkm_final":   blend = x + tau/2 k1 - 3tau/2 k3 + 2tau k4 (states
+#                  [x, k1, k3, k4]); computes k5 = rhs(blend), writes the
+#                  5th-order update x + tau/6 (k1 + 4 k4 + k5) AND per-block
+#                  partial maxima of the Merson error combination
+#                  |0.2 k1 - 0.9 k3 + 0.8 k4 - 0.1 k5| for both fields --
+#                  k5, the separate final-update pass, and the two
+#                  error-norm sweeps all disappear from HBM traffic.
+_MODES = ("rhs", "euler", "rk4_combine", "rkm_final")
+
+
+def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int):
     dx, dy = p.dx, p.dy
     inv_2dx = 1.0 / (2 * dx)
     inv_2dy = 1.0 / (2 * dy)
@@ -141,14 +158,17 @@ def _make_kernel(p: SimParams, n_states: int, is_euler: bool, with_fu: bool):
     u_bc = p.T_boundary
 
     def kernel(*refs):
-        # refs: scalars_ref, then per-state (Fc, Fn, Fs, Uc, Un, Us), then
-        # out_F, out_U
+        # refs: scalars_ref, per-state (Fc, Fn, Fs, Uc, Un, Us), extra
+        # center-only inputs, then outputs (out_F, out_U[, err_F, err_U])
         scal = refs[0]
         ins = refs[1:1 + 6 * n_states]
-        out_F, out_U = refs[1 + 6 * n_states:]
+        extra = refs[1 + 6 * n_states:1 + 6 * n_states + n_extra]
+        outs = refs[1 + 6 * n_states + n_extra:]
+        out_F, out_U = outs[0], outs[1]
 
         d_eff = scal[0, n_states]
-        fu = scal[0, n_states + 1] if with_fu else 0.0
+        fu = scal[0, n_states + 1]
+        tau = scal[0, n_states + 2]
 
         def blended(base, bc):
             # first weight is exactly 1.0 at every call site: skip the
@@ -219,17 +239,42 @@ def _make_kernel(p: SimParams, n_states: int, is_euler: bool, with_fu: bool):
             dt_F = k1_lap_F + k0 - k2 * (Uc - p.Tm)
         dt_U = lap_U + p.L * dt_F + fu
 
-        if is_euler:
-            out_F[:] = Fc + p.dt * dt_F
-            out_U[:] = Uc + p.dt * dt_U
-        else:
+        if mode == "rhs":
             out_F[:] = dt_F
             out_U[:] = dt_U
+        elif mode == "euler":
+            out_F[:] = Fc + p.dt * dt_F
+            out_U[:] = Uc + p.dt * dt_U
+        elif mode == "rk4_combine":
+            # states = [x, k3]; extras = [k1_F, k1_U, k2_F, k2_U]
+            x_F, x_U = ins[0][:], ins[3][:]
+            k3_F, k3_U = ins[6][:], ins[9][:]
+            k1_F, k1_U, k2_F, k2_U = (e[:] for e in extra)
+            c = p.dt / 6
+            out_F[:] = x_F + c * (k1_F + 2 * k2_F + 2 * k3_F + dt_F)
+            out_U[:] = x_U + c * (k1_U + 2 * k2_U + 2 * k3_U + dt_U)
+        elif mode == "rkm_final":
+            # states = [x, k1, k3, k4]; rhs result (dt_F, dt_U) is k5
+            x_F, x_U = ins[0][:], ins[3][:]
+            k1_F, k1_U = ins[6][:], ins[9][:]
+            k3_F, k3_U = ins[12][:], ins[15][:]
+            k4_F, k4_U = ins[18][:], ins[21][:]
+            c = tau / 6
+            out_F[:] = x_F + c * (k1_F + 4 * k4_F + dt_F)
+            out_U[:] = x_U + c * (k1_U + 4 * k4_U + dt_U)
+            err_F, err_U = outs[2], outs[3]
+            eF = jnp.max(jnp.abs(0.2 * k1_F - 0.9 * k3_F + 0.8 * k4_F - 0.1 * dt_F))
+            eU = jnp.max(jnp.abs(0.2 * k1_U - 0.9 * k3_U + 0.8 * k4_U - 0.1 * dt_U))
+            err_F[:] = jnp.full(err_F.shape, eF)
+            err_U[:] = jnp.full(err_U.shape, eU)
+        else:  # pragma: no cover
+            raise ValueError(mode)
 
     return kernel
 
 
-def _specs(p: SimParams, ty: int, n_states: int):
+def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
+           with_err: bool = False):
     """Block specs: center (ty, nx) blocks + (8, nx) halo row-groups.
 
     Halo index maps are in 8-row-block units (ty is a multiple of 8):
@@ -266,7 +311,7 @@ def _specs(p: SimParams, ty: int, n_states: int):
     f_north, f_south = make_row_maps(p.Phi_boundary)
     u_north, u_south = make_row_maps(p.T_boundary)
 
-    in_specs = [pl.BlockSpec((1, n_states + 2), lambda i: (0, 0),
+    in_specs = [pl.BlockSpec((1, n_states + 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)]
     for _ in range(n_states):
         in_specs += [
@@ -277,35 +322,49 @@ def _specs(p: SimParams, ty: int, n_states: int):
             pl.BlockSpec((8, nx), u_north, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, nx), u_south, memory_space=pltpu.VMEM),
         ]
+    for _ in range(n_extra):
+        in_specs.append(pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM))
     out_specs = [
         pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
         pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
     ]
+    if with_err:
+        # per-program partial maxima, written as broadcast (8, 128) blocks
+        err_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs += [err_spec, err_spec]
     return in_specs, out_specs
 
 
-@functools.partial(jax.jit, static_argnames=("p", "n_states", "is_euler", "interpret"))
-def _call(p: SimParams, n_states: int, is_euler: bool, interpret: bool,
+@functools.partial(jax.jit, static_argnames=("p", "n_states", "mode", "interpret"))
+def _call(p: SimParams, n_states: int, mode: str, interpret: bool,
           scalars, *fields):
-    ty = _tile_y(p.ny, p.nx, n_states, 4)
-    in_specs, out_specs = _specs(p, ty, n_states)
-    kernel = _make_kernel(p, n_states, is_euler, with_fu=True)
+    n_extra = 4 if mode == "rk4_combine" else 0
+    with_err = mode == "rkm_final"
+    ty = _tile_y(p.ny, p.nx, n_states + n_extra // 2, 4)
+    grid = p.ny // ty
+    in_specs, out_specs = _specs(p, ty, n_states, n_extra, with_err)
+    kernel = _make_kernel(p, n_states, mode, n_extra)
     shape = jax.ShapeDtypeStruct((p.ny, p.nx), jnp.float32)
+    out_shape = [shape, shape]
+    if with_err:
+        err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
+        out_shape += [err_shape, err_shape]
     flops_per_cell = 40 + (60 if p.S != 0.0 else 0)
     out = pl.pallas_call(
         kernel,
-        grid=(p.ny // ty,),
+        grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[shape, shape],
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * p.N * (1 + (n_states - 1) * 2),
-            bytes_accessed=(2 * n_states + 2) * p.N * 4,
+            bytes_accessed=(2 * n_states + 2 + n_extra) * p.N * 4,
             transcendentals=(2 * p.N if p.S != 0.0 else p.N),
         ),
     )(scalars, *fields)
-    return out[0], out[1]
+    return tuple(out)
 
 
 def blend_rhs_pallas(
@@ -323,22 +382,36 @@ def blend_rhs_pallas(
     *effective* value for the blended field, i.e. already scaled by
     sum(weights) when nonzero -- see ops/rhs.py).
     """
-    n = len(states)
-    if not 1 <= n <= 4:
-        raise ValueError(f"1..4 blend states supported, got {n}")
+    out = _stage_call(states, weights, p, "euler" if is_euler else "rhs",
+                      fu=fu, dirichlet_value=dirichlet_value,
+                      interpret=interpret)
+    return out[0], out[1]
+
+
+def _scalar_row(weights, n, dirichlet_value, fu, tau):
     if isinstance(weights[0], (int, float)) and float(weights[0]) != 1.0:
         raise ValueError("first blend weight must be 1.0 (base state); every "
                          "integrator stage has this form")
-    w = jnp.zeros((1, n + 2), jnp.float32)
+    w = jnp.zeros((1, n + 3), jnp.float32)
     for k, wk in enumerate(weights):
         w = w.at[0, k].set(jnp.asarray(wk, jnp.float32))
     w = w.at[0, n].set(jnp.asarray(dirichlet_value, jnp.float32))
     w = w.at[0, n + 1].set(jnp.asarray(fu, jnp.float32))
+    w = w.at[0, n + 2].set(jnp.asarray(tau, jnp.float32))
+    return w
 
+
+def _stage_call(states, weights, p, mode, extra=(), fu=0.0,
+                dirichlet_value=0.0, tau=0.0, interpret=False):
+    n = len(states)
+    if not 1 <= n <= 4:
+        raise ValueError(f"1..4 blend states supported, got {n}")
+    w = _scalar_row(weights, n, dirichlet_value, fu, tau)
     fields = []
     for F, U in states:
-        fields += [F, F, F, U, U, U]  # center + 2 halo-row views of the same array
-    return _call(p, n, is_euler, interpret, w, *fields)
+        fields += [F, F, F, U, U, U]  # center + 2 halo-group views of one array
+    fields += list(extra)
+    return _call(p, n, mode, interpret, w, *fields)
 
 
 def rhs_pallas(Fb, Ub, p: SimParams, fu=0.0, dirichlet_value=0.0,
@@ -347,3 +420,34 @@ def rhs_pallas(Fb, Ub, p: SimParams, fu=0.0, dirichlet_value=0.0,
     return blend_rhs_pallas([(Fb, Ub)], [1.0], p, fu=fu,
                             dirichlet_value=dirichlet_value,
                             is_euler=is_euler, interpret=interpret)
+
+
+def rk4_final_stage_pallas(x, k1, k2, k3, p: SimParams, fu=0.0,
+                           dirichlet_value=0.0, interpret: bool = False):
+    """Fused RK4 stage 4 + combination: computes k4 = f(x + dt*k3) and
+    returns x + dt/6 (k1 + 2 k2 + 2 k3 + k4) without materializing k4.
+
+    x, k1, k2, k3 are (F, U) pairs.
+    """
+    out = _stage_call([x, k3], [1.0, p.dt], p, "rk4_combine",
+                      extra=[k1[0], k1[1], k2[0], k2[1]],
+                      fu=fu, dirichlet_value=dirichlet_value,
+                      interpret=interpret)
+    return out[0], out[1]
+
+
+def rkm_final_stage_pallas(x, k1, k3, k4, tau, p: SimParams, fu=0.0,
+                           dirichlet_value=0.0, interpret: bool = False):
+    """Fused Merson stage 5 + final update + error partials.
+
+    Computes k5 = f(x + tau/2 k1 - 3tau/2 k3 + 2tau k4) and returns
+    (next_F, next_U, emax_F, emax_U) where emax_* = max|0.2 k1 - 0.9 k3 +
+    0.8 k4 - 0.1 k5| (the Merson error combination before the tau/3 factor,
+    `simulation.cu:427-438`).  next_* = x + tau/6 (k1 + 4 k4 + k5).
+    """
+    out = _stage_call([x, k1, k3, k4],
+                      [1.0, tau / 2, -3 * tau / 2, 2 * tau],
+                      p, "rkm_final", fu=fu, dirichlet_value=dirichlet_value,
+                      tau=tau, interpret=interpret)
+    next_F, next_U, err_F, err_U = out
+    return next_F, next_U, jnp.max(err_F), jnp.max(err_U)

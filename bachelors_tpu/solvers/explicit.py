@@ -31,12 +31,22 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
 
 
 def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
-    """Classic fixed-step RK4 (`simulation.cu:313-348`)."""
+    """Classic fixed-step RK4 (`simulation.cu:313-348`).
+
+    On the fused-kernel backend the 4th stage and the final combination run
+    as one pass (k4 never materializes in HBM).
+    """
+    from ..ops.rhs import _resolve_backend
+
     dt = p.dt
     one = 1.0
     k1 = eval_rhs([(F, U)], [one], p, topo, fu)
     k2 = eval_rhs([(F, U), k1], [one, dt / 2], p, topo, fu)
     k3 = eval_rhs([(F, U), k2], [one, dt / 2], p, topo, fu)
+    if _resolve_backend(p, topo, 2) == "pallas":
+        from ..ops.pallas_rhs import rk4_final_stage_pallas
+
+        return rk4_final_stage_pallas((F, U), k1, k2, k3, p, fu)
     k4 = eval_rhs([(F, U), k3], [one, dt], p, topo, fu)
     next_F = F + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
     next_U = U + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
@@ -68,6 +78,8 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     The final update is the 5th-order combination
     x + used_tau/6 (k1 + 4 k4 + k5) (`simulation.cu:470-482`).
     """
+    from ..ops.rhs import _resolve_backend
+
     dtype = F.dtype
     one = 1.0
     max_iters = max(max(p.T_max_iters, p.Phi_max_iters), 1)
@@ -75,50 +87,65 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     delta = jnp.asarray(max(min(p.Phi_tolerance, p.T_tolerance), 1e-20), dtype)
     tol_F = jnp.asarray(p.Phi_tolerance, dtype)
     tol_U = jnp.asarray(p.T_tolerance, dtype)
+    fused = _resolve_backend(p, topo, 4) == "pallas"
 
     # k1 does not depend on tau: computed once outside the retry loop
     # (`simulation.cu:386`).
     k1_F, k1_U = eval_rhs([(F, U)], [one], p, topo, fu)
 
     def stage(tau):
+        """One tau attempt: candidate next state + error norms.
+
+        Fused backend: stage 5, the final 5th-order update and the error
+        partial-maxima all happen in one kernel pass (k5 never hits HBM);
+        otherwise the XLA oracle path materializes k5 and reduces
+        separately (still on-device, unlike the reference's per-iteration
+        host readback, `simulation.cu:427-435`).
+        """
         k2 = eval_rhs([(F, U), (k1_F, k1_U)], [one, tau / 3], p, topo, fu)
         k3 = eval_rhs([(F, U), (k1_F, k1_U), k2], [one, tau / 6, tau / 6], p, topo, fu)
         k4 = eval_rhs([(F, U), (k1_F, k1_U), k3], [one, tau / 8, 3 * tau / 8], p, topo, fu)
-        k5 = eval_rhs(
-            [(F, U), (k1_F, k1_U), k3, k4],
-            [one, tau / 2, -3 * tau / 2, 2 * tau],
-            p, topo, fu,
-        )
-        eps_F = tau / 3 * topo.max(jnp.abs(
-            0.2 * k1_F - 0.9 * k3[0] + 0.8 * k4[0] - 0.1 * k5[0]))
-        eps_U = tau / 3 * topo.max(jnp.abs(
-            0.2 * k1_U - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * k5[1]))
-        return k4, k5, eps_F, eps_U
+        if fused:
+            from ..ops.pallas_rhs import rkm_final_stage_pallas
+
+            nF, nU, emax_F, emax_U = rkm_final_stage_pallas(
+                (F, U), (k1_F, k1_U), k3, k4, tau, p, fu)
+            eps_F = tau / 3 * emax_F
+            eps_U = tau / 3 * emax_U
+        else:
+            k5 = eval_rhs(
+                [(F, U), (k1_F, k1_U), k3, k4],
+                [one, tau / 2, -3 * tau / 2, 2 * tau],
+                p, topo, fu,
+            )
+            eps_F = tau / 3 * topo.max(jnp.abs(
+                0.2 * k1_F - 0.9 * k3[0] + 0.8 * k4[0] - 0.1 * k5[0]))
+            eps_U = tau / 3 * topo.max(jnp.abs(
+                0.2 * k1_U - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * k5[1]))
+            nF = F + tau / 6 * (k1_F + 4 * k4[0] + k5[0])
+            nU = U + tau / 6 * (k1_U + 4 * k4[1] + k5[1])
+        return nF, nU, eps_F, eps_U
 
     def body(carry):
-        (i, tau, used_tau, _k4, _k5, _conv, _eF, _eU, stop) = carry
-        k4, k5, eps_F, eps_U = stage(tau)
+        (i, tau, used_tau, _nF, _nU, _conv, _eF, _eU, stop) = carry
+        nF, nU, eps_F, eps_U = stage(tau)
         converged = jnp.logical_and(eps_F < tol_F, eps_U < tol_U)
         eps = jnp.maximum(jnp.maximum(eps_F, eps_U), jnp.asarray(1e-20, dtype))
         used = tau
         new_tau = (delta / eps) ** jnp.asarray(0.2, dtype) * 4 / 5 * tau
         new_tau = jnp.maximum(new_tau, min_dt)
         floor_hit = jnp.logical_and(new_tau <= min_dt, used <= min_dt)
-        return (i + 1, new_tau, used, k4, k5, converged, eps_F, eps_U,
+        return (i + 1, new_tau, used, nF, nU, converged, eps_F, eps_U,
                 jnp.logical_or(converged, floor_hit))
 
     def cond(carry):
         i, *_rest, stop = carry
         return jnp.logical_and(i < max_iters, jnp.logical_not(stop))
 
-    zeros = (jnp.zeros_like(F), jnp.zeros_like(U))
     init = (jnp.zeros((), jnp.int32), jnp.asarray(tau0, dtype),
-            jnp.asarray(tau0, dtype), zeros, zeros,
+            jnp.asarray(tau0, dtype), jnp.zeros_like(F), jnp.zeros_like(U),
             jnp.zeros((), bool), jnp.zeros((), dtype), jnp.zeros((), dtype),
             jnp.zeros((), bool))
-    (iters, next_tau, used_tau, k4, k5, converged, eps_F, eps_U, _s) = (
+    (iters, next_tau, used_tau, next_F, next_U, converged, eps_F, eps_U, _s) = (
         lax.while_loop(cond, body, init))
-
-    next_F = F + used_tau / 6 * (k1_F + 4 * k4[0] + k5[0])
-    next_U = U + used_tau / 6 * (k1_U + 4 * k4[1] + k5[1])
     return next_F, next_U, used_tau, next_tau, iters, converged

@@ -110,3 +110,42 @@ def test_supports_gates():
     assert not supports(params(nx=100))
     assert not supports(params(ny=12))
     assert supports(params(nx=2048, ny=2048))
+
+
+def test_rk4_combine_mode(rng):
+    """Fused stage-4 + combination == explicit k4 + combine."""
+    import jax.numpy as jnp
+    from bachelors_tpu.ops.pallas_rhs import rk4_final_stage_pallas
+
+    p = params(BoundaryType.NEUMANN, S=0.25)
+    x = rand_states(rng, p, 1)[0]
+    k1, k2, k3 = rand_states(rng, p, 3)
+    got = rk4_final_stage_pallas(x, k1, k2, k3, p, interpret=True)
+    k4 = oracle([x, k3], [1.0, p.dt], p)
+    dt = p.dt
+    want_F = x[0] + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+    want_U = x[1] + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+    assert_match(got[0], want_F)
+    assert_match(got[1], want_U)
+
+
+def test_rkm_final_mode(rng):
+    """Fused Merson stage 5 + update + error partials == explicit path."""
+    import jax.numpy as jnp
+    from bachelors_tpu.ops.pallas_rhs import rkm_final_stage_pallas
+
+    p = params(BoundaryType.PERIODIC, S=0.0)
+    x = rand_states(rng, p, 1)[0]
+    k1, k3, k4 = rand_states(rng, p, 3)
+    tau = 3.7e-6
+    nF, nU, emax_F, emax_U = rkm_final_stage_pallas(x, k1, k3, k4, tau, p,
+                                                    interpret=True)
+    k5 = oracle([x, k1, k3, k4], [1.0, tau / 2, -3 * tau / 2, 2 * tau], p)
+    want_F = x[0] + tau / 6 * (k1[0] + 4 * k4[0] + k5[0])
+    want_U = x[1] + tau / 6 * (k1[1] + 4 * k4[1] + k5[1])
+    assert_match(nF, want_F)
+    assert_match(nU, want_U)
+    want_eF = np.abs(0.2 * k1[0] - 0.9 * k3[0] + 0.8 * k4[0] - 0.1 * np.asarray(k5[0])).max()
+    want_eU = np.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * np.asarray(k5[1])).max()
+    assert float(emax_F) == pytest.approx(want_eF, rel=1e-4)
+    assert float(emax_U) == pytest.approx(want_eU, rel=1e-4)
