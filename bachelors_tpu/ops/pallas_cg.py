@@ -1,0 +1,170 @@
+"""Fused Pallas kernels for the conjugate-gradient hot loop.
+
+The reference's CG (`simulation.cu:596-690`) launches, per iteration, a
+tiled stencil matvec, two separate device-wide dot reductions (each a full
+re-read of its operands) and two axpy kernels.  Here the iteration costs
+two fused passes:
+
+  * ``matvec_pAp``: 5-point operator (constant cross or per-cell
+    anisotropy map, `simulation.cu:528-578`) producing Ap AND per-block
+    partial sums of <p, Ap> in the same read of p;
+  * ``update_xr_rr``: x += alpha p, r -= alpha Ap, emitting per-block
+    partial sums of the new <r, r> from the same pass.
+
+The search-direction update p = r + beta p stays in XLA (a single fused
+axpy).  Boundary handling reuses the halo row-group machinery of
+`ops/pallas_rhs.py`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import BoundaryType
+from .pallas_rhs import (_pick_halo_rows, _roll, _row_mask, _shift_x,
+                         _tile_y)
+
+
+def _partial_spec(ty):
+    return pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _halo_specs(ny, nx, ty, bc: BoundaryType):
+    g = ty // 8
+    n_groups = ny // 8
+
+    def center(i):
+        return (i, 0)
+
+    if bc == BoundaryType.PERIODIC:
+        def north(i):
+            return (((i + 1) * g) % n_groups, 0)
+
+        def south(i):
+            return ((i * g - 1) % n_groups, 0)
+    else:
+        def north(i):
+            return (jnp.minimum((i + 1) * g, n_groups - 1), 0)
+
+        def south(i):
+            return (jnp.maximum(i * g - 1, 0), 0)
+
+    return [
+        pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nx), north, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, nx), south, memory_space=pltpu.VMEM),
+    ]
+
+
+def _neighbors(vc, vn_grp, vs_grp, bc: BoundaryType):
+    n_row, s_row = _pick_halo_rows(vc, vn_grp, vs_grp, bc, 0.0)
+    ty = vc.shape[0]
+    N = jnp.where(_row_mask(vc, ty - 1), n_row, _roll(vc, -1, 0))
+    S = jnp.where(_row_mask(vc, 0), s_row, _roll(vc, 1, 0))
+    E, W = _shift_x(vc, bc, 0.0)
+    return N, S, E, W
+
+
+@functools.partial(jax.jit, static_argnames=("bc", "C", "X", "Y", "with_s",
+                                             "ny", "nx", "interpret"))
+def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
+                ny: int, nx: int, interpret: bool, v, s):
+    ty = _tile_y(ny, nx, 2, 4)
+    grid = ny // ty
+
+    def kernel(*refs):
+        if with_s:
+            vc, vn, vs, sc, out, part = refs
+        else:
+            vc, vn, vs, out, part = refs
+            sc = None
+        v = vc[:]
+        N, S, E, W = _neighbors(v, vn[:], vs[:], bc)
+        if with_s:
+            sv = sc[:]
+            Av = (1 + C * sv) * v + (X * sv) * (E + W) + (Y * sv) * (N + S)
+        else:
+            Av = C * v + X * (E + W) + Y * (N + S)
+        out[:] = Av
+        part[:] = jnp.full(part.shape, jnp.sum(v * Av))
+
+    in_specs = _halo_specs(ny, nx, ty, bc)
+    args = [v, v, v]
+    if with_s:
+        in_specs.append(pl.BlockSpec((ty, nx), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(s)
+    out, part = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                   _partial_spec(ty)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    pAp = jnp.sum(part.reshape(grid, 8, 128)[:, 0, 0])
+    return out, pAp
+
+
+def cross_matvec_pAp(A, v, interpret: bool = False):
+    """(A v, <v, A v>) for the constant cross operator (ops.stencil.CrossMatrix)."""
+    ny, nx = v.shape
+    return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, ny, nx, interpret,
+                       v, v)
+
+
+def aniso_matvec_pAp(A, s, v, interpret: bool = False):
+    """(A v, <v, A v>) for the anisotropy operator (ops.stencil.AnisotropyMatrix).
+
+    Note the operator form (1 + Cm1*s) I + X*s (E+W) + Y*s (N+S)."""
+    ny, nx = v.shape
+    return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, ny, nx, interpret,
+                       v, s)
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "interpret"))
+def _update_xr_rr(ny: int, nx: int, interpret: bool, x, r, pv, Ap, alpha):
+    ty = _tile_y(ny, nx, 3, 4)
+    grid = ny // ty
+    spec = pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def kernel(a_ref, x_ref, r_ref, p_ref, Ap_ref, xo, ro, part):
+        al = a_ref[0, 0]
+        xo[:] = x_ref[:] + al * p_ref[:]
+        rn = r_ref[:] - al * Ap_ref[:]
+        ro[:] = rn
+        part[:] = jnp.full(part.shape, jnp.sum(rn * rn))
+
+    xo, ro, part = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                  spec, spec, spec, spec],
+        out_specs=[spec, spec, _partial_spec(ty)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)],
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(alpha, jnp.float32), (1, 1)), x, r, pv, Ap)
+    rr = jnp.sum(part.reshape(grid, 8, 128)[:, 0, 0])
+    return xo, ro, rr
+
+
+def update_xr_rr(x, r, pv, Ap, alpha, interpret: bool = False):
+    """Fused (x + alpha p, r - alpha Ap, <r', r'>)."""
+    ny, nx = x.shape
+    return _update_xr_rr(ny, nx, interpret, x, r, pv, Ap, alpha)
+
+
+def supports_cg(p, topo) -> bool:
+    """Fused CG kernels: single-chip f32 with clean tiling."""
+    from .pallas_rhs import supports
+
+    return (not topo.is_sharded) and p.dtype == "float32" and supports(p, 3)

@@ -44,8 +44,14 @@ def cg_solve(
     max_iters: int = 10,
     epsilon: float = 1.0e-10,
     topo: Topology = Topology(),
+    matvec_pAp: Optional[Callable] = None,
 ):
-    """Solve A x = b.  Returns (x, CGResult)."""
+    """Solve A x = b.  Returns (x, CGResult).
+
+    ``matvec_pAp``, when given, is a fused kernel returning
+    (A p, <p, A p>) in one memory pass (see ops/pallas_cg.py); the x/r
+    update then also uses the fused variant emitting <r', r'>.
+    """
     dtype = b.dtype
     N = topo.count(b).astype(dtype)
     scaled_tol2 = jnp.asarray(tolerance, dtype) ** 2 * N
@@ -68,12 +74,19 @@ def cg_solve(
 
     def body(carry):
         x, r, p, rr, it, stop = carry
-        Ap = matvec(p)
-        pAp = topo.dot(p, Ap)
-        alpha = rr / jnp.maximum(pAp, eps)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rr_new = topo.dot(r, r)
+        if matvec_pAp is not None:
+            from ..ops.pallas_cg import update_xr_rr
+
+            Ap, pAp = matvec_pAp(p)
+            alpha = rr / jnp.maximum(pAp, eps)
+            x, r, rr_new = update_xr_rr(x, r, p, Ap, alpha)
+        else:
+            Ap = matvec(p)
+            pAp = topo.dot(p, Ap)
+            alpha = rr / jnp.maximum(pAp, eps)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rr_new = topo.dot(r, r)
         done = rr_new < scaled_tol2
         beta = rr_new / jnp.maximum(rr, eps)
         p_next = jnp.where(done, p, r + beta * p)

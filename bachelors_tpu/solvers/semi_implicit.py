@@ -32,6 +32,12 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     Up = topo.pad(U, p.T_boundary)
     b_F, s = semi_implicit_prepare(Fp, Up, p)
 
+    # fused CG kernels (matvec + <p,Ap> in one pass) on the pallas backend
+    from ..ops.rhs import _resolve_backend
+    from ..ops.pallas_cg import aniso_matvec_pAp, cross_matvec_pAp, supports_cg
+
+    fused = (_resolve_backend(p, topo, 3) == "pallas" and supports_cg(p, topo))
+
     A_F = AnisotropyMatrix.implicit_phase(p)
     next_F, res_F = cg_solve(
         lambda v: anisotropy_matvec(A_F, s, v, topo),
@@ -41,6 +47,7 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         max_iters=p.Phi_max_iters,
         epsilon=1.0e-12,
         topo=topo,
+        matvec_pAp=(lambda v: aniso_matvec_pAp(A_F, s, v)) if fused else None,
     )
 
     b_U = U_base + p.L * (next_F - F) + p.dt * (1 - p.gamma) * U_base
@@ -54,6 +61,7 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         max_iters=p.T_max_iters,
         epsilon=1.0e-12,
         topo=topo,
+        matvec_pAp=(lambda v: cross_matvec_pAp(A_U, v)) if fused else None,
     )
     return next_F, next_U, res_F, res_U
 

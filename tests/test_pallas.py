@@ -149,3 +149,76 @@ def test_rkm_final_mode(rng):
     want_eU = np.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * np.asarray(k5[1])).max()
     assert float(emax_F) == pytest.approx(want_eF, rel=1e-4)
     assert float(emax_U) == pytest.approx(want_eU, rel=1e-4)
+
+
+class TestFusedCG:
+    def test_cross_matvec_pAp(self, rng):
+        from bachelors_tpu.ops.pallas_cg import cross_matvec_pAp
+        from bachelors_tpu.ops.stencil import CrossMatrix, cross_matvec
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.NEUMANN)
+        A = CrossMatrix(C=3.1, X=-0.4, Y=-0.7, boundary=BoundaryType.NEUMANN)
+        v = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        Av, pAp = cross_matvec_pAp(A, jnp.asarray(v), interpret=True)
+        want = np.asarray(cross_matvec(A, v, Topology()))
+        assert_match(Av, want)
+        assert float(pAp) == pytest.approx(float((v * want).sum()), rel=1e-4)
+
+    def test_aniso_matvec_pAp(self, rng):
+        from bachelors_tpu.ops.pallas_cg import aniso_matvec_pAp
+        from bachelors_tpu.ops.stencil import AnisotropyMatrix, anisotropy_matvec
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.PERIODIC)
+        A = AnisotropyMatrix.implicit_phase(p)
+        v = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        s = np.abs(rng.normal(size=(p.ny, p.nx))).astype(np.float32)
+        Av, pAp = aniso_matvec_pAp(A, jnp.asarray(s), jnp.asarray(v), interpret=True)
+        want = np.asarray(anisotropy_matvec(A, s, v, Topology()))
+        assert_match(Av, want)
+        assert float(pAp) == pytest.approx(float((v * want).sum()), rel=1e-4)
+
+    def test_update_xr_rr(self, rng):
+        from bachelors_tpu.ops.pallas_cg import update_xr_rr
+
+        shape = (32, 128)
+        x, r, pv, Ap = (rng.normal(size=shape).astype(np.float32) for _ in range(4))
+        alpha = 0.37
+        xo, ro, rr = update_xr_rr(*map(jnp.asarray, (x, r, pv, Ap)), alpha,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(xo), x + alpha * pv, rtol=1e-5, atol=1e-6)
+        want_r = r - alpha * Ap
+        np.testing.assert_allclose(np.asarray(ro), want_r, rtol=1e-5, atol=1e-6)
+        assert float(rr) == pytest.approx(float((want_r * want_r).sum()), rel=1e-4)
+
+    def test_cg_with_fused_ops(self, rng):
+        """Full CG with fused kernels (interpret) == plain CG."""
+        from bachelors_tpu.ops.pallas_cg import cross_matvec_pAp
+        from bachelors_tpu.ops.stencil import CrossMatrix, cross_matvec
+        from bachelors_tpu.parallel.topology import Topology
+        from bachelors_tpu.solvers.cg import cg_solve
+        import bachelors_tpu.ops.pallas_cg as pcg
+        import bachelors_tpu.solvers.cg as cgmod
+
+        topo = Topology()
+        p = params(BoundaryType.NEUMANN, dt=1e-3)
+        A = CrossMatrix.implicit_heat(p)
+        xs = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        b = cross_matvec(A, xs, topo)
+
+        # monkeypatch the in-loop fused update to interpret mode
+        orig = pcg.update_xr_rr
+        pcg_update = lambda *a: orig(*a, interpret=True)
+        try:
+            cgmod_update = pcg.update_xr_rr
+            pcg.update_xr_rr = pcg_update
+            x_f, res_f = cg_solve(lambda v: cross_matvec(A, v, topo), b,
+                                  tolerance=1e-5, max_iters=100, topo=topo,
+                                  matvec_pAp=lambda v: cross_matvec_pAp(A, v, interpret=True))
+        finally:
+            pcg.update_xr_rr = cgmod_update
+        x_p, res_p = cg_solve(lambda v: cross_matvec(A, v, topo), b,
+                              tolerance=1e-5, max_iters=100, topo=topo)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p),
+                                   rtol=1e-3, atol=1e-5)
