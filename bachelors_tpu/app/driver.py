@@ -92,6 +92,14 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
     path = os.path.join(folder, f"maps_{index:04d}.bin")
     save_bin_maps(path, maps, p.nx, p.ny, p.dx, p.dy,
                   float(state.t), int(state.iter))
+    if cfg.snapshot_netcdf:
+        from ..io.netcdf import have_netcdf, save_netcdf
+
+        if have_netcdf():
+            nc = os.path.join(folder, f"{p.solver.value}_nc_{index:04d}.nc")
+            save_netcdf(nc, maps, p, float(state.t), int(state.iter))
+        else:  # pragma: no cover
+            log.warn("netcdf requested but scipy is unavailable; skipping")
     if acc is not None:
         acc.save_csv(os.path.join(folder, "stats.csv"), p.nx, p.ny, p.dt)
     if save_config_once[0] == 0:

@@ -158,6 +158,7 @@ class SimConfig:
     snapshot_times: int = 10
     snapshot_initial_conditions: bool = True
     snapshot_folder: str = "snapshots"
+    snapshot_netcdf: bool = False
     snapshot_prefix: str = ""
     snapshot_postfix: str = ""
 
@@ -250,6 +251,7 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         snapshot_times=b.get_int("snapshot", "times"),
         snapshot_initial_conditions=b.get_bool("snapshot", "snapshot_initial_conditions"),
         snapshot_folder=b.get_str("snapshot", "folder"),
+        snapshot_netcdf=b.get_bool("snapshot", "netcdf", False, required=False),
         snapshot_prefix=b.get_str("snapshot", "prefix", "", required=False),
         snapshot_postfix=b.get_str("snapshot", "postfix", "", required=False),
         run_simulation=b.get_bool("program", "run_simulation"),
