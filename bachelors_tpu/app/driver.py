@@ -148,7 +148,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         donate_argnums=0)
     adv_n = jax.jit(
         lambda s, n: advance_n(stepper, s, n),
-        donate_argnums=0, static_argnums=1)
+        donate_argnums=0)
 
     jit_collect = {}
 

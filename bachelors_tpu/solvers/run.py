@@ -45,18 +45,23 @@ def advance_until(stepper: Stepper, state: SimState, t_stop, max_steps: int = 1 
     return lax.while_loop(cond, body, state)
 
 
-def advance_n(stepper: Stepper, state: SimState, n_steps: int) -> SimState:
-    """Run exactly n_steps (host-determined) with a device-side fori_loop.
+def advance_n(stepper: Stepper, state: SimState, n_steps) -> SimState:
+    """Run exactly n_steps (host-determined) with a device-side loop.
 
     The fixed-dt fast path: the step count for a time interval is exact in
     host f64 (n = ceil((t_stop - t)/dt)), immune to f32 time rounding.
+
+    ``n_steps`` is deliberately converted to a *traced* scalar: with a
+    static trip count XLA fully unrolls the loop (minutes of compile time
+    for thousand-step chunks) and every distinct chunk size recompiles; a
+    dynamic bound keeps one rolled while-loop for all chunk sizes.
     """
 
     def body(_i, s):
         s2, _stats = stepper(s)
         return s2
 
-    return lax.fori_loop(0, n_steps, body, state)
+    return lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, state)
 
 
 def advance_collect(stepper: Stepper, state: SimState, n_steps: int,

@@ -36,7 +36,7 @@ def time_steps(p, k_big, k_small):
         circle_center=(p.L0 / 2, p.L0 / 2), circle_radius=p.L0 / 80))
     st0 = bt.make_state(F, U, p)
     step = bt.make_stepper(p)
-    adv = jax.jit(lambda s, n: advance_n(step, s, n), static_argnums=1)
+    adv = jax.jit(lambda s, n: advance_n(step, s, n))
 
     sync(adv(st0, k_small).F)   # compile small
     sync(adv(st0, k_big).F)     # compile big
@@ -62,6 +62,12 @@ def main():
     p_e = p.replace(solver=bt.SolverType.EXPLICIT_EULER)
     euler_sec = time_steps(p_e, k_big, k_small)
 
+    # secondary solvers (A100 reference at 2048^2: RKM 3.77 ms, S-I 4.26 ms)
+    p_rkm = p.replace(solver=bt.SolverType.EXPLICIT_RK4_ADAPTIVE, min_dt=1e-9)
+    rkm_sec = time_steps(p_rkm, max(k_big // 4, 8), k_small)
+    p_si = p.replace(solver=bt.SolverType.SEMI_IMPLICIT)
+    si_sec = time_steps(p_si, max(k_big // 16, 8), k_small)
+
     out = {
         "metric": f"cell-updates/sec/chip, {n}^2 explicit-RK4 (f32)",
         "value": round(cells_per_s, 1),
@@ -70,6 +76,10 @@ def main():
         "rk4_step_ms": round(sec_per_step * 1e3, 4),
         "euler_step_ms": round(euler_sec * 1e3, 4),
         "euler_vs_baseline": round(BASELINE_EULER_STEP_MS / (euler_sec * 1e3), 3),
+        "rkm_step_ms": round(rkm_sec * 1e3, 4),
+        "rkm_vs_baseline": round(3.77 / (rkm_sec * 1e3), 3),
+        "semi_implicit_step_ms": round(si_sec * 1e3, 4),
+        "semi_implicit_vs_baseline": round(4.26 / (si_sec * 1e3), 3),
         "grid": n,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
