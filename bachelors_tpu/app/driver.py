@@ -112,7 +112,24 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                    make_folder: bool = True) -> RunResult:
     p = cfg.params
     state = _initial_state(cfg)
-    stepper = make_stepper(p, topo)
+
+    # Multi-chip: [tpu] shards_y/shards_x shard the grid over a device mesh
+    # with ICI halo exchange (see parallel/).
+    mesh = None
+    if cfg.shards_y * cfg.shards_x > 1 and not topo.is_sharded:
+        from ..parallel.mesh import make_mesh, shard_state
+        from ..parallel.sharded import make_sharded_stepper
+
+        mesh, topo = make_mesh(shards_y=cfg.shards_y, shards_x=cfg.shards_x)
+        log.info(f"sharding grid over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        stepper = make_sharded_stepper(p, mesh, topo)
+        state = shard_state(state, mesh, topo)
+    else:
+        stepper = make_stepper(p, topo)
+
+    import contextlib
+
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
 
     folder = ""
     if make_folder:
@@ -158,6 +175,9 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 lambda st, ts: advance_collect(stepper, st, n, t_stop=ts),
                 donate_argnums=0)
         return jit_collect[n](s, t_stop)
+
+    _mesh_stack = contextlib.ExitStack()
+    _mesh_stack.enter_context(mesh_ctx)
 
     last_stats_save = 0.0
     t_start = time.perf_counter()
@@ -215,6 +235,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             _save_snapshot(folder, snapshots, state, cfg, acc, save_config_once)
 
     jax.block_until_ready(state.F)
+    _mesh_stack.close()
     runtime = time.perf_counter() - t_start
     iters = int(state.iter)
     log.info("Finished!")

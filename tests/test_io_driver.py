@@ -255,3 +255,23 @@ def test_adaptive_driver_runs(tmp_path, monkeypatch):
     res = run_config_file("c.ini")
     assert res.sim_time >= 2e-5 - 1e-16
     assert res.snapshots == 2
+
+
+def test_driver_sharded_matches_single(tmp_path, monkeypatch):
+    """[tpu] shards_y/shards_x drives a sharded run from the config file;
+    outputs must match the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    base = CONFIG_TEXT.replace("times = 2", "times = 1")
+    open("single.ini", "w").write(base)
+    open("sharded.ini", "w").write(base + "\n[tpu]\nshards_y = 2\nshards_x = 2\n")
+    r1 = run_config_file("single.ini")
+    r2 = run_config_file("sharded.ini")
+    f1 = load_bin_maps(os.path.join(r1.save_folder, "maps_0001.bin"))
+    f2 = load_bin_maps(os.path.join(r2.save_folder, "maps_0001.bin"))
+    np.testing.assert_allclose(f2.maps["F"], f1.maps["F"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(f2.maps["U"], f1.maps["U"], rtol=0, atol=1e-6)
+    assert f2.iter == f1.iter
