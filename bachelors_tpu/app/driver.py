@@ -14,6 +14,7 @@ so the benchmark path has zero per-step host round-trips.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -22,10 +23,10 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..core.params import SimParams, SolverType
+from ..core.params import SolverType
 from ..core.state import SimState, make_state
-from ..models.allen_cahn import debug_maps
 from ..models.initial import make_initial_fields
+from ..models.allen_cahn import debug_maps
 from ..parallel.topology import Topology
 from ..solvers.base import make_stepper
 from ..solvers.run import advance_collect, advance_n, advance_until
@@ -126,8 +127,6 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         state = shard_state(state, mesh, topo)
     else:
         stepper = make_stepper(p, topo)
-
-    import contextlib
 
     mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
 
