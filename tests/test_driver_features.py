@@ -1,0 +1,87 @@
+"""Driver feature coverage: every-cadence snapshots, stats cadence, CLI
+main with overrides, semi-implicit corrector loop."""
+import os
+
+import numpy as np
+import pytest
+
+import bachelors_tpu as bt
+from bachelors_tpu.app.driver import main, run_config_file
+from bachelors_tpu.io.snapshot import load_bin_maps
+
+from test_io_driver import CONFIG_TEXT
+
+
+def test_snapshot_every_cadence(tmp_path, monkeypatch):
+    """`every` (not just `times`) triggers snapshots (`main.cpp:504-511`)."""
+    monkeypatch.chdir(tmp_path)
+    text = (CONFIG_TEXT
+            .replace("every = 9999", "every = 0.000007")  # every 7us sim time
+            .replace("times = 2", "times = 0"))
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    # stop=2e-5, every=7e-6 -> triggers at 7e-6, 1.4e-5 (2 every-snaps) + end
+    files = sorted(f for f in os.listdir(res.save_folder) if f.endswith(".bin"))
+    assert len(files) >= 3  # initial + >= 2 triggered
+    # trigger fired at the first step crossing the threshold
+    snap = load_bin_maps(os.path.join(res.save_folder, files[1]))
+    assert snap.time >= 7e-6 - 1e-12
+    assert snap.time < 7e-6 + 5e-6 + 1e-12
+
+
+def test_collect_stats_every(tmp_path, monkeypatch):
+    """Stats rows are subsampled by collect_stats_every sim-seconds
+    (`main.cpp:554`)."""
+    monkeypatch.chdir(tmp_path)
+    text = CONFIG_TEXT.replace("collect_stats_every = 0",
+                               "collect_stats_every = 0.000009")
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    lines = open(os.path.join(res.save_folder, "stats.csv")).read().splitlines()
+    # 4 steps at dt=5e-6; collections when post-step time crosses
+    # last+9e-6: at t=1e-5 and t=2e-5 -> 2 rows (+2 header lines)
+    assert len(lines) == 2 + 2
+
+
+def test_cli_main_with_overrides(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    open("a.ini", "w").write(CONFIG_TEXT)
+    rc = main(["a.ini", "--set", "simulation.solver=explicit-rk4",
+               "--set", "snapshot.times=1"])
+    assert rc == 0
+    folders = [d for d in os.listdir("snapshots")]
+    assert len(folders) == 1
+    assert "explicit-rk4" in folders[0]  # override took effect
+    files = os.listdir(os.path.join("snapshots", folders[0]))
+    assert "maps_0001.bin" in files
+
+
+def test_cli_main_skips_bad_config(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    open("bad.ini", "w").write("[simulation]\nsolver = explicit\n")  # missing keys
+    open("good.ini", "w").write(CONFIG_TEXT)
+    rc = main(["bad.ini", "good.ini"])
+    assert rc == 1  # reference semantics: error recorded, next config ran
+    assert os.path.isdir("snapshots")
+
+
+def test_semi_implicit_corrector_loop():
+    """The corrector shell drives the semi-implicit stepper too
+    (`simulation.cu:964-978`), with step residuals recorded."""
+    p = bt.SimParams(nx=24, ny=24, dt=1e-5, dtype="float64", backend="xla",
+                     f32_transcendentals=False,
+                     solver=bt.SolverType.SEMI_IMPLICIT,
+                     do_corrector_loop=True, corrector_max_iters=2,
+                     do_stats_step_residual=True, do_stats=True,
+                     Phi_tolerance=1e-10, T_tolerance=1e-10,
+                     Phi_max_iters=60, T_max_iters=60)
+    F, U = bt.make_initial_fields(p, bt.InitialConditions(
+        circle_center=(2.0, 2.0), circle_radius=0.5, circle_fade=6.0))
+    st = bt.make_state(F, U, p)
+    step = bt.make_stepper(p)
+    st2, stats = step(st)
+    assert int(stats.step_res_count) == 2
+    res = np.asarray(stats.step_res_L1)[:2]
+    assert res[0] > 0
+    assert res[1] <= res[0]
+    assert np.isfinite(np.asarray(st2.F)).all()
