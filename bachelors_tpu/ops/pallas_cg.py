@@ -71,53 +71,98 @@ def _neighbors(vc, vn_grp, vs_grp, bc: BoundaryType):
 
 
 @functools.partial(jax.jit, static_argnames=("bc", "C", "X", "Y", "with_s",
-                                             "ny", "nx", "interpret"))
+                                             "blend", "ny", "nx", "interpret"))
 def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
-                ny: int, nx: int, interpret: bool, v, s):
-    ty = _tile_y(ny, nx, 2, 4)
+                blend: bool, ny: int, nx: int, interpret: bool, v, s, r, beta):
+    """Fused (optionally blended) matvec + <p, Ap> partials.
+
+    blend=False: p = v.  blend=True: the CG direction update is folded in --
+    p' = r + beta*v is formed in VMEM from the halo'd inputs, and the kernel
+    emits (p', A p', <p', A p'>) so the separate axpy pass disappears.
+    """
+    ty = _tile_y(ny, nx, 3 if blend else 2, 4)
     grid = ny // ty
 
     def kernel(*refs):
-        if with_s:
-            vc, vn, vs, sc, out, part = refs
+        i = 0
+        if blend:
+            b_ref = refs[0]
+            i = 1
+        vc, vn, vs = refs[i:i + 3]
+        i += 3
+        if blend:
+            rc, rn, rs = refs[i:i + 3]
+            i += 3
+        sc = refs[i] if with_s else None
+        i += 1 if with_s else 0
+        outs = refs[i:]
+
+        if blend:
+            bt = b_ref[0, 0]
+            pc = rc[:] + bt * vc[:]
+            pn = rn[:] + bt * vn[:]
+            ps = rs[:] + bt * vs[:]
         else:
-            vc, vn, vs, out, part = refs
-            sc = None
-        v = vc[:]
-        N, S, E, W = _neighbors(v, vn[:], vs[:], bc)
+            pc, pn, ps = vc[:], vn[:], vs[:]
+        N, S, E, W = _neighbors(pc, pn, ps, bc)
         if with_s:
             sv = sc[:]
-            Av = (1 + C * sv) * v + (X * sv) * (E + W) + (Y * sv) * (N + S)
+            Av = (1 + C * sv) * pc + (X * sv) * (E + W) + (Y * sv) * (N + S)
         else:
-            Av = C * v + X * (E + W) + Y * (N + S)
+            Av = C * pc + X * (E + W) + Y * (N + S)
+        if blend:
+            p_out, out, part = outs
+            p_out[:] = pc
+        else:
+            out, part = outs
         out[:] = Av
-        part[:] = jnp.full(part.shape, jnp.sum(v * Av))
+        part[:] = jnp.full(part.shape, jnp.sum(pc * Av))
 
-    in_specs = _halo_specs(ny, nx, ty, bc)
-    args = [v, v, v]
+    fspec = pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = []
+    args = []
+    if blend:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)))
+    in_specs += _halo_specs(ny, nx, ty, bc)
+    args += [v, v, v]
+    if blend:
+        in_specs += _halo_specs(ny, nx, ty, bc)
+        args += [r, r, r]
     if with_s:
-        in_specs.append(pl.BlockSpec((ty, nx), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(fspec)
         args.append(s)
-    out, part = pl.pallas_call(
+    out_specs = [fspec, _partial_spec(ty)]
+    out_shape = [jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                 jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)]
+    if blend:
+        out_specs = [fspec] + out_specs
+        out_shape = [jax.ShapeDtypeStruct((ny, nx), jnp.float32)] + out_shape
+    res = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                   _partial_spec(ty)],
-        out_shape=[jax.ShapeDtypeStruct((ny, nx), jnp.float32),
-                   jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if blend:
+        p_new, out, part = res
+    else:
+        out, part = res
+        p_new = None
     pAp = jnp.sum(part.reshape(grid, 8, 128)[:, 0, 0])
+    if blend:
+        return p_new, out, pAp
     return out, pAp
 
 
 def cross_matvec_pAp(A, v, interpret: bool = False):
     """(A v, <v, A v>) for the constant cross operator (ops.stencil.CrossMatrix)."""
     ny, nx = v.shape
-    return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, ny, nx, interpret,
-                       v, v)
+    return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, False, ny, nx,
+                       interpret, v, v, v, 0.0)
 
 
 def aniso_matvec_pAp(A, s, v, interpret: bool = False):
@@ -125,8 +170,22 @@ def aniso_matvec_pAp(A, s, v, interpret: bool = False):
 
     Note the operator form (1 + Cm1*s) I + X*s (E+W) + Y*s (N+S)."""
     ny, nx = v.shape
-    return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, ny, nx, interpret,
-                       v, s)
+    return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, False, ny, nx,
+                       interpret, v, s, v, 0.0)
+
+
+def cross_advance_p_matvec(A, r, p, beta, interpret: bool = False):
+    """(p', A p', <p', A p'>) with p' = r + beta*p fused into the matvec."""
+    ny, nx = p.shape
+    return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, True, ny, nx,
+                       interpret, p, p, r, beta)
+
+
+def aniso_advance_p_matvec(A, s, r, p, beta, interpret: bool = False):
+    """Anisotropy-operator variant of ``cross_advance_p_matvec``."""
+    ny, nx = p.shape
+    return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, True, ny, nx,
+                       interpret, p, s, r, beta)
 
 
 @functools.partial(jax.jit, static_argnames=("ny", "nx", "interpret"))

@@ -102,3 +102,66 @@ def cg_solve(
         converged=it != max_iters,
     )
     return x, res
+
+
+def cg_solve_fused(
+    matvec: Callable,
+    matvec_pAp: Callable,
+    advance_p_matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tolerance: float = 1.0e-5,
+    max_iters: int = 10,
+    epsilon: float = 1.0e-10,
+    topo: Topology = Topology(),
+):
+    """CG with fully fused iteration kernels (single-chip pallas path).
+
+    Per iteration only two HBM passes remain:
+      1. fused x/r update emitting <r', r'>  (ops.pallas_cg.update_xr_rr)
+      2. fused direction advance p' = r + beta p + matvec + <p', A p'>
+         (ops.pallas_cg.*_advance_p_matvec)
+    Semantically identical to ``cg_solve``: the matvec is hoisted from the
+    top of iteration k+1 to the bottom of iteration k.
+    """
+    from ..ops.pallas_cg import update_xr_rr
+
+    dtype = b.dtype
+    N = topo.count(b).astype(dtype)
+    scaled_tol2 = jnp.asarray(tolerance, dtype) ** 2 * N
+    eps = jnp.asarray(epsilon, dtype)
+
+    if x0 is not None:
+        x = x0
+        r = b - matvec(x0)
+        p = r
+        rr = topo.dot(r, r)
+    else:
+        x = jnp.zeros_like(b)
+        r = b
+        p = b
+        rr = topo.dot(b, b)
+    Ap, pAp = matvec_pAp(p)
+
+    def cond(carry):
+        x, r, p, Ap, pAp, rr, it, stop = carry
+        return jnp.logical_and(jnp.logical_not(stop), it < max_iters)
+
+    def body(carry):
+        x, r, p, Ap, pAp, rr, it, stop = carry
+        alpha = rr / jnp.maximum(pAp, eps)
+        x, r, rr_new = update_xr_rr(x, r, p, Ap, alpha)
+        done = rr_new < scaled_tol2
+        beta = rr_new / jnp.maximum(rr, eps)
+        p2, Ap2, pAp2 = advance_p_matvec(r, p, beta)
+        p = jnp.where(done, p, p2)
+        Ap = jnp.where(done, Ap, Ap2)
+        pAp = jnp.where(done, pAp, pAp2)
+        it_next = jnp.where(done, it, it + 1)
+        return (x, r, p, Ap, pAp, rr_new, it_next, done)
+
+    init = (x, r, p, Ap, pAp, rr, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    x, r, p, Ap, pAp, rr, it, stop = lax.while_loop(cond, body, init)
+    return x, CGResult(error=jnp.sqrt(rr / N), iters=it,
+                       converged=it != max_iters)

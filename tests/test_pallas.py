@@ -222,3 +222,52 @@ class TestFusedCG:
                               tolerance=1e-5, max_iters=100, topo=topo)
         np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p),
                                    rtol=1e-3, atol=1e-5)
+
+    def test_advance_p_matvec(self, rng):
+        from bachelors_tpu.ops.pallas_cg import cross_advance_p_matvec
+        from bachelors_tpu.ops.stencil import CrossMatrix, cross_matvec
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.NEUMANN)
+        A = CrossMatrix(C=2.7, X=-0.3, Y=-0.5, boundary=BoundaryType.NEUMANN)
+        r = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        pv = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        beta = 0.43
+        p2, Ap2, pAp2 = cross_advance_p_matvec(A, jnp.asarray(r), jnp.asarray(pv),
+                                               beta, interpret=True)
+        want_p = r + beta * pv
+        want_Ap = np.asarray(cross_matvec(A, want_p, Topology()))
+        assert_match(p2, want_p)
+        assert_match(Ap2, want_Ap)
+        assert float(pAp2) == pytest.approx(float((want_p * want_Ap).sum()), rel=1e-4)
+
+    def test_cg_solve_fused_matches_plain(self, rng):
+        from bachelors_tpu.ops.pallas_cg import (cross_advance_p_matvec,
+                                                 cross_matvec_pAp)
+        from bachelors_tpu.ops.stencil import CrossMatrix, cross_matvec
+        from bachelors_tpu.parallel.topology import Topology
+        from bachelors_tpu.solvers.cg import cg_solve, cg_solve_fused
+        import bachelors_tpu.ops.pallas_cg as pcg
+
+        topo = Topology()
+        p = params(BoundaryType.NEUMANN, dt=1e-3)
+        A = CrossMatrix.implicit_heat(p)
+        xs = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        b = cross_matvec(A, xs, topo)
+
+        orig = pcg.update_xr_rr
+        pcg.update_xr_rr = lambda *a: orig(*a, interpret=True)
+        try:
+            x_f, res_f = cg_solve_fused(
+                lambda v: cross_matvec(A, v, topo),
+                lambda v: cross_matvec_pAp(A, v, interpret=True),
+                lambda r, pv, beta: cross_advance_p_matvec(A, r, pv, beta,
+                                                           interpret=True),
+                b, tolerance=1e-5, max_iters=100, topo=topo)
+        finally:
+            pcg.update_xr_rr = orig
+        x_p, res_p = cg_solve(lambda v: cross_matvec(A, v, topo), b,
+                              tolerance=1e-5, max_iters=100, topo=topo)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p),
+                                   rtol=1e-3, atol=1e-5)
+        assert abs(int(res_f.iters) - int(res_p.iters)) <= 2

@@ -172,3 +172,22 @@ def test_viewer_render_frame(tmp_path):
     assert os.path.getsize(out) > 1000
     out2 = render_frame(st, cfg, str(tmp_path / "aniso.png"), "aniso")
     assert os.path.getsize(out2) > 1000
+
+
+def test_postprocess_cli(tmp_path, monkeypatch):
+    """python -m bachelors_tpu.postprocess renders frames + stats plots."""
+    monkeypatch.chdir(tmp_path)
+    from bachelors_tpu.app.driver import run_config_file
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_io_driver import CONFIG_TEXT
+
+    open("c.ini", "w").write(CONFIG_TEXT)
+    res = run_config_file("c.ini")
+    from bachelors_tpu.postprocess.__main__ import main as pp_main
+
+    rc = pp_main([res.save_folder])
+    assert rc == 0
+    rendered = os.listdir(os.path.join(res.save_folder, "rendered"))
+    assert any(f.startswith("maps_") and f.endswith(".png") for f in rendered)
+    assert "delta_norms.png" in rendered
