@@ -32,44 +32,31 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     Up = topo.pad(U, p.T_boundary)
     b_F, s = semi_implicit_prepare(Fp, Up, p)
 
-    # fused CG kernels (2 HBM passes per iteration) on the pallas backend
+    # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
+    # NOTE: the deeper cg_solve_fused variant (direction update folded into
+    # the matvec) measured *slower* on the current device (2.49 vs 2.02
+    # ms/step at 2048^2: the duplicated r/p halo transfers and larger loop
+    # carry outweigh the saved axpy pass), so the pAp-fusion form is wired.
     from ..ops.rhs import _resolve_backend
-    from ..ops.pallas_cg import (aniso_advance_p_matvec, aniso_matvec_pAp,
-                                 cross_advance_p_matvec, cross_matvec_pAp,
-                                 supports_cg)
-    from .cg import cg_solve_fused
+    from ..ops.pallas_cg import aniso_matvec_pAp, cross_matvec_pAp, supports_cg
 
     fused = (_resolve_backend(p, topo, 3) == "pallas" and supports_cg(p, topo))
 
     A_F = AnisotropyMatrix.implicit_phase(p)
-    if fused:
-        next_F, res_F = cg_solve_fused(
-            lambda v: anisotropy_matvec(A_F, s, v, topo),
-            lambda v: aniso_matvec_pAp(A_F, s, v),
-            lambda r, pv, beta: aniso_advance_p_matvec(A_F, s, r, pv, beta),
-            b_F, x0=F, tolerance=p.Phi_tolerance,
-            max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo)
-    else:
-        next_F, res_F = cg_solve(
-            lambda v: anisotropy_matvec(A_F, s, v, topo),
-            b_F, x0=F, tolerance=p.Phi_tolerance,
-            max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo)
+    next_F, res_F = cg_solve(
+        lambda v: anisotropy_matvec(A_F, s, v, topo),
+        b_F, x0=F, tolerance=p.Phi_tolerance,
+        max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo,
+        matvec_pAp=(lambda v: aniso_matvec_pAp(A_F, s, v)) if fused else None)
 
     b_U = U_base + p.L * (next_F - F) + p.dt * (1 - p.gamma) * U_base
 
     A_U = CrossMatrix.implicit_heat(p)
-    if fused:
-        next_U, res_U = cg_solve_fused(
-            lambda v: cross_matvec(A_U, v, topo),
-            lambda v: cross_matvec_pAp(A_U, v),
-            lambda r, pv, beta: cross_advance_p_matvec(A_U, r, pv, beta),
-            b_U, x0=U, tolerance=p.T_tolerance,
-            max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo)
-    else:
-        next_U, res_U = cg_solve(
-            lambda v: cross_matvec(A_U, v, topo),
-            b_U, x0=U, tolerance=p.T_tolerance,
-            max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo)
+    next_U, res_U = cg_solve(
+        lambda v: cross_matvec(A_U, v, topo),
+        b_U, x0=U, tolerance=p.T_tolerance,
+        max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
+        matvec_pAp=(lambda v: cross_matvec_pAp(A_U, v)) if fused else None)
     return next_F, next_U, res_F, res_U
 
 
