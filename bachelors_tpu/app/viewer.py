@@ -9,6 +9,7 @@ Key bindings mirror `glfw_key_func` (`main.cpp:585-677`):
   space       pause / resume
   enter       single-step (step_by steps)
   d           toggle debug maps
+  l           toggle linear filtering
   c           toggle corrector loop
   s           on-demand snapshot
   f1..f8      select rendered map (F, U, next_F, next_U, debug maps...)
@@ -92,7 +93,8 @@ def run_interactive(cfg: SimConfig) -> None:
     ax = fig.add_subplot(111)
     im = ax.imshow(np.asarray(state.F), origin="lower",
                    cmap=science_colormap(), vmin=vmin, vmax=vmax,
-                   extent=(0, p.L0, 0, p.L0))
+                   extent=(0, p.L0, 0, p.L0),
+                   interpolation="bilinear" if cfg.linear_filtering else "nearest")
     cb = fig.colorbar(im, ax=ax)
 
     def on_key(event):
@@ -111,6 +113,10 @@ def run_interactive(cfg: SimConfig) -> None:
             log.info(f"corrector loop {cfg.params.do_corrector_loop}")
         elif k == "s":
             vs.want_snapshot = True
+        elif k == "l":
+            cfg.linear_filtering = not cfg.linear_filtering
+            im.set_interpolation("bilinear" if cfg.linear_filtering else "nearest")
+            log.info(f"linear filtering {cfg.linear_filtering}")
         elif k and k.startswith("f") and k[1:].isdigit():
             vs.render_target = int(k[1:]) - 1
         elif k == "up":

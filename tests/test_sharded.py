@@ -152,3 +152,12 @@ def test_corrector_loop_sharded():
     np.testing.assert_allclose(np.asarray(b.F), np.asarray(a.F), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(sb.step_res_L1), np.asarray(sa.step_res_L1),
                                rtol=1e-8, atol=1e-15)
+
+
+def test_multihost_noop_single_process():
+    from bachelors_tpu.parallel.multihost import (initialize, is_primary,
+                                                  local_device_count)
+
+    assert initialize() is False  # single process: no-op
+    assert is_primary()
+    assert local_device_count() >= 1
