@@ -50,6 +50,13 @@ def time_steps(p, k_big, k_small):
 
 
 def main():
+    # persistent compile cache: the tunnel's compile service is slow and can
+    # saturate; cached modules make reruns near-instant
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
+
     on_tpu = jax.default_backend() == "tpu"
     n = 2048 if on_tpu else 256
     k_big, k_small = (2000, 16) if on_tpu else (50, 4)
@@ -59,31 +66,38 @@ def main():
     sec_per_step = time_steps(p, k_big, k_small)
     cells_per_s = n * n / sec_per_step
 
-    p_e = p.replace(solver=bt.SolverType.EXPLICIT_EULER)
-    euler_sec = time_steps(p_e, k_big, k_small)
-
-    # secondary solvers (A100 reference at 2048^2: RKM 3.77 ms, S-I 4.26 ms)
-    p_rkm = p.replace(solver=bt.SolverType.EXPLICIT_RK4_ADAPTIVE, min_dt=1e-9)
-    rkm_sec = time_steps(p_rkm, max(k_big // 4, 8), k_small)
-    p_si = p.replace(solver=bt.SolverType.SEMI_IMPLICIT)
-    si_sec = time_steps(p_si, max(k_big // 16, 8), k_small)
-
     out = {
         "metric": f"cell-updates/sec/chip, {n}^2 explicit-RK4 (f32)",
         "value": round(cells_per_s, 1),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_s / BASELINE_RK4_CELLS_PER_S, 3),
         "rk4_step_ms": round(sec_per_step * 1e3, 4),
-        "euler_step_ms": round(euler_sec * 1e3, 4),
-        "euler_vs_baseline": round(BASELINE_EULER_STEP_MS / (euler_sec * 1e3), 3),
-        "rkm_step_ms": round(rkm_sec * 1e3, 4),
-        "rkm_vs_baseline": round(3.77 / (rkm_sec * 1e3), 3),
-        "semi_implicit_step_ms": round(si_sec * 1e3, 4),
-        "semi_implicit_vs_baseline": round(4.26 / (si_sec * 1e3), 3),
         "grid": n,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+
+    # secondary solvers, best-effort (A100 reference at 2048^2: Euler
+    # 0.44 ms, RKM 3.77 ms, S-I 4.26 ms)
+    try:
+        euler_sec = time_steps(p.replace(solver=bt.SolverType.EXPLICIT_EULER),
+                               k_big, k_small)
+        out["euler_step_ms"] = round(euler_sec * 1e3, 4)
+        out["euler_vs_baseline"] = round(BASELINE_EULER_STEP_MS / (euler_sec * 1e3), 3)
+
+        rkm_sec = time_steps(
+            p.replace(solver=bt.SolverType.EXPLICIT_RK4_ADAPTIVE, min_dt=1e-9),
+            max(k_big // 4, 8), k_small)
+        out["rkm_step_ms"] = round(rkm_sec * 1e3, 4)
+        out["rkm_vs_baseline"] = round(3.77 / (rkm_sec * 1e3), 3)
+
+        si_sec = time_steps(p.replace(solver=bt.SolverType.SEMI_IMPLICIT),
+                            max(k_big // 16, 8), k_small)
+        out["semi_implicit_step_ms"] = round(si_sec * 1e3, 4)
+        out["semi_implicit_vs_baseline"] = round(4.26 / (si_sec * 1e3), 3)
+    except Exception as e:  # noqa: BLE001 - headline metric must still print
+        out["secondary_error"] = str(e)[:120]
+
     print(json.dumps(out))
 
 

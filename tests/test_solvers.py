@@ -161,3 +161,22 @@ def test_advance_collect_masks_after_target():
     st, stats, mask = bt.advance_collect(step, initial(p), 8, t_stop=5e-6)
     assert int(np.sum(np.asarray(mask))) == 5
     assert float(st.t) == pytest.approx(5e-6)
+
+
+def test_step_determinism():
+    """Pure functional steppers: identical inputs -> bitwise identical
+    outputs (the determinism guarantee replacing the reference's
+    seed-logging repro approach, SURVEY §5)."""
+    for sv in (SolverType.EXPLICIT_RK4_ADAPTIVE, SolverType.SEMI_IMPLICIT):
+        p = base_params(solver=sv)
+        step = bt.make_stepper(p)
+        a, _ = step(initial(p))
+        b, _ = step(initial(p))
+        np.testing.assert_array_equal(np.asarray(a.F), np.asarray(b.F))
+        np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+
+
+def test_solver_none_rejected():
+    p = base_params(solver=SolverType.NONE)
+    with pytest.raises(ValueError):
+        bt.make_stepper(p)
