@@ -127,6 +127,18 @@ def _pick_halo_rows(center, north_grp, south_grp, bc: BoundaryType, d_eff):
     return north_row, south_row
 
 
+def _pick_halo_rows_ghost(north_grp, south_grp, ghost_lo, ghost_hi):
+    """Ghost-row variant for sharded execution: the y-BC/neighbor rows at
+    the shard edges were produced outside the kernel (ppermute halo exchange
+    + global-edge BC, already blended), so the edge programs splice them in;
+    interior programs use the clamped halo groups as usual."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    north_row = jnp.where(i == n - 1, ghost_hi[0:1], north_grp[0:1])
+    south_row = jnp.where(i == 0, ghost_lo[0:1], south_grp[7:8])
+    return north_row, south_row
+
+
 # Kernel output modes:
 #   "rhs":         out = (dPhi_dt, dT_dt)
 #   "euler":       out = blend + dt * rhs(blend)        (states[0] is x)
@@ -144,7 +156,8 @@ def _pick_halo_rows(center, north_grp, south_grp, bc: BoundaryType, d_eff):
 _MODES = ("rhs", "euler", "rk4_combine", "rkm_final")
 
 
-def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int):
+def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
+                 ghost: bool = False):
     dx, dy = p.dx, p.dy
     inv_2dx = 1.0 / (2 * dx)
     inv_2dy = 1.0 / (2 * dy)
@@ -158,19 +171,24 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int):
     u_bc = p.T_boundary
 
     def kernel(*refs):
-        # refs: scalars_ref, per-state (Fc, Fn, Fs, Uc, Un, Us), extra
-        # center-only inputs, then outputs (out_F, out_U[, err_F, err_U])
+        # refs: scalars_ref, per-state (Fc, Fn, Fs, Uc, Un, Us),
+        # [4 ghost-row arrays when ghost], extra center-only inputs, then
+        # outputs (out_F, out_U[, err_F, err_U])
         scal = refs[0]
         ins = refs[1:1 + 6 * n_states]
-        extra = refs[1 + 6 * n_states:1 + 6 * n_states + n_extra]
-        outs = refs[1 + 6 * n_states + n_extra:]
+        i0 = 1 + 6 * n_states
+        if ghost:
+            gF_lo, gF_hi, gU_lo, gU_hi = refs[i0:i0 + 4]
+            i0 += 4
+        extra = refs[i0:i0 + n_extra]
+        outs = refs[i0 + n_extra:]
         out_F, out_U = outs[0], outs[1]
 
         d_eff = scal[0, n_states]
         fu = scal[0, n_states + 1]
         tau = scal[0, n_states + 2]
 
-        def blended(base, bc):
+        def blended(base, bc, g_lo, g_hi):
             # first weight is exactly 1.0 at every call site: skip the
             # multiply (3 full-block VPU passes saved in the 1-state case)
             c = ins[base][:]
@@ -181,11 +199,18 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int):
                 c = c + ins[base + 6 * k][:] * w
                 ng = ng + ins[base + 6 * k + 1][:] * w
                 sg = sg + ins[base + 6 * k + 2][:] * w
-            n, s = _pick_halo_rows(c, ng, sg, bc, d_eff)
+            if ghost:
+                n, s = _pick_halo_rows_ghost(ng, sg, g_lo[:], g_hi[:])
+            else:
+                n, s = _pick_halo_rows(c, ng, sg, bc, d_eff)
             return c, n, s
 
-        Fc, Fn, Fs = blended(0, f_bc)
-        Uc, Un, Us = blended(3, u_bc)
+        if ghost:
+            Fc, Fn, Fs = blended(0, f_bc, gF_lo, gF_hi)
+            Uc, Un, Us = blended(3, u_bc, gU_lo, gU_hi)
+        else:
+            Fc, Fn, Fs = blended(0, f_bc, None, None)
+            Uc, Un, Us = blended(3, u_bc, None, None)
 
         # y-neighbors: sublane-rotate rows within the block, splice the halo
         # rows at the seams via row masks
@@ -274,7 +299,7 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int):
 
 
 def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
-           with_err: bool = False):
+           with_err: bool = False, ghost: bool = False):
     """Block specs: center (ty, nx) blocks + (8, nx) halo row-groups.
 
     Halo index maps are in 8-row-block units (ty is a multiple of 8):
@@ -322,6 +347,10 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
             pl.BlockSpec((8, nx), u_north, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, nx), u_south, memory_space=pltpu.VMEM),
         ]
+    if ghost:
+        for _ in range(4):
+            in_specs.append(pl.BlockSpec((8, nx), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
     for _ in range(n_extra):
         in_specs.append(pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM))
     out_specs = [
@@ -336,16 +365,20 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
     return in_specs, out_specs
 
 
-@functools.partial(jax.jit, static_argnames=("p", "n_states", "mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "n_states", "mode", "interpret",
+                                             "ghost", "ny_local"))
 def _call(p: SimParams, n_states: int, mode: str, interpret: bool,
-          scalars, *fields):
+          scalars, *fields, ghost: bool = False, ny_local: int = 0):
     n_extra = 4 if mode == "rk4_combine" else 0
     with_err = mode == "rkm_final"
-    ty = _tile_y(p.ny, p.nx, n_states + n_extra // 2, 4)
-    grid = p.ny // ty
-    in_specs, out_specs = _specs(p, ty, n_states, n_extra, with_err)
-    kernel = _make_kernel(p, n_states, mode, n_extra)
-    shape = jax.ShapeDtypeStruct((p.ny, p.nx), jnp.float32)
+    ny = ny_local or p.ny
+    ty = _tile_y(ny, p.nx, n_states + n_extra // 2, 4)
+    grid = ny // ty
+    # local-shape view of the params for spec construction
+    pl_view = p if ny == p.ny else p.replace(ny=ny)
+    in_specs, out_specs = _specs(pl_view, ty, n_states, n_extra, with_err, ghost)
+    kernel = _make_kernel(p, n_states, mode, n_extra, ghost)
+    shape = jax.ShapeDtypeStruct((ny, p.nx), jnp.float32)
     out_shape = [shape, shape]
     if with_err:
         err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
@@ -420,6 +453,81 @@ def rhs_pallas(Fb, Ub, p: SimParams, fu=0.0, dirichlet_value=0.0,
     return blend_rhs_pallas([(Fb, Ub)], [1.0], p, fu=fu,
                             dirichlet_value=dirichlet_value,
                             is_euler=is_euler, interpret=interpret)
+
+
+def _ghost_rows(states, weights, bc: BoundaryType, which: int, axis_name: str,
+                d_eff):
+    """Blended shard-edge ghost rows via one ppermute pair.
+
+    which: 0 = Phi field, 1 = T field.  Blending edge rows before the
+    exchange keeps the collective count independent of the RK stage width
+    (rows of a blend == blend of rows).  Returns (ghost_lo, ghost_hi) of
+    shape (8, nx) -- padded for Mosaic's sublane granularity; only row 0
+    carries data.
+    """
+    from jax import lax
+
+    first = states[0][which][0:1, :]
+    last = states[0][which][-1:, :]
+    for (pair, w) in zip(states[1:], weights[1:]):
+        first = first + pair[which][0:1, :] * w
+        last = last + pair[which][-1:, :] * w
+
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    ghost_lo = lax.ppermute(last, axis_name, fwd)    # from predecessor
+    ghost_hi = lax.ppermute(first, axis_name, bwd)   # from successor
+
+    if bc != BoundaryType.PERIODIC:
+        if bc == BoundaryType.NEUMANN:
+            bc_lo, bc_hi = first, last
+        else:  # DIRICHLET mirror (d_eff already weight-scaled, see ops/rhs)
+            d = jnp.asarray(d_eff, first.dtype)
+            bc_lo, bc_hi = 2 * d - first, 2 * d - last
+        ghost_lo = jnp.where(idx == 0, bc_lo, ghost_lo)
+        ghost_hi = jnp.where(idx == n - 1, bc_hi, ghost_hi)
+
+    pad = ((0, 7), (0, 0))
+    return jnp.pad(ghost_lo, pad), jnp.pad(ghost_hi, pad)
+
+
+def blend_rhs_pallas_sharded(states, weights, p: SimParams, axis_y: str,
+                             fu=0.0, dirichlet_value=0.0,
+                             is_euler: bool = False, interpret: bool = False):
+    """Fused RHS stage inside shard_map (grid sharded on rows).
+
+    The y-halo at shard seams rides ICI as two blended ghost rows per field
+    (4 small ppermutes per stage); everything else -- blending, x-BCs,
+    stencil, physics -- stays in the single fused kernel per shard.  The
+    x dimension must be unsharded (the 1D row decomposition).
+    """
+    n = len(states)
+    w = _scalar_row(weights, n, dirichlet_value, fu, 0.0)
+    gF_lo, gF_hi = _ghost_rows(states, weights, p.Phi_boundary, 0, axis_y,
+                               dirichlet_value)
+    gU_lo, gU_hi = _ghost_rows(states, weights, p.T_boundary, 1, axis_y,
+                               dirichlet_value)
+    fields = []
+    for F, U in states:
+        fields += [F, F, F, U, U, U]
+    fields += [gF_lo, gF_hi, gU_lo, gU_hi]
+    ny_local = states[0][0].shape[0]
+    out = _call(p, n, "euler" if is_euler else "rhs", interpret, w, *fields,
+                ghost=True, ny_local=ny_local)
+    return out[0], out[1]
+
+
+def supports_sharded(p: SimParams, ny_local: int, n_states: int = 4) -> bool:
+    """Ghost-row kernel feasibility for a local shard of ny_local rows."""
+    if p.dtype != "float32" or p.nx % 128 != 0:
+        return False
+    if ny_local % 8 != 0 or ny_local < 16:
+        return False
+    if p.S != 0.0 and not (float(p.m0).is_integer() and p.m0 >= 1):
+        return False
+    return _tile_y(ny_local, p.nx, n_states, 4) >= 8
 
 
 def rk4_final_stage_pallas(x, k1, k2, k3, p: SimParams, fu=0.0,

@@ -66,11 +66,17 @@ def eval_rhs(
     else:
         d_eff = dirichlet_value * _weight_sum(weights)
 
-    backend = _resolve_backend(p, topo, len(states))
+    backend = _resolve_backend(p, topo, len(states),
+                               ny_local=states[0][0].shape[0])
     if backend == "pallas":
         from .pallas_rhs import blend_rhs_pallas
 
         return blend_rhs_pallas(states, weights, p, fu=fu, dirichlet_value=d_eff)
+    if backend == "pallas_sharded":
+        from .pallas_rhs import blend_rhs_pallas_sharded
+
+        return blend_rhs_pallas_sharded(states, weights, p, topo.axis_y,
+                                        fu=fu, dirichlet_value=d_eff)
 
     Fb, Ub = _blend_states(states, weights)
     Fp = topo.pad(Fb, p.Phi_boundary, d_eff)
@@ -83,12 +89,19 @@ def euler_eval(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Euler write ``x + dt * f(x)`` (the IS_EULER=true kernel mode,
     `simulation.cu:231-240`)."""
-    backend = _resolve_backend(p, topo, len(states))
+    backend = _resolve_backend(p, topo, len(states),
+                               ny_local=states[0][0].shape[0])
     if backend == "pallas":
         from .pallas_rhs import blend_rhs_pallas
 
         return blend_rhs_pallas(states, weights, p, fu=fu,
                                 dirichlet_value=dirichlet_value, is_euler=True)
+    if backend == "pallas_sharded":
+        from .pallas_rhs import blend_rhs_pallas_sharded
+
+        return blend_rhs_pallas_sharded(states, weights, p, topo.axis_y,
+                                        fu=fu, dirichlet_value=dirichlet_value,
+                                        is_euler=True)
     Fb, Ub = _blend_states(states, weights)
     Fp = topo.pad(Fb, p.Phi_boundary, dirichlet_value)
     Up = topo.pad(Ub, p.T_boundary, dirichlet_value)
@@ -96,15 +109,23 @@ def euler_eval(
     return Fb + p.dt * dF, Ub + p.dt * dU
 
 
-def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1) -> str:
+def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1,
+                     ny_local: int = 0) -> str:
+    """Pick the kernel backend: "pallas" (single chip), "pallas_sharded"
+    (1D row decomposition inside shard_map: ghost rows over ICI + fused
+    kernel per shard), or "xla" (oracle / fallback / 2D meshes)."""
     if p.backend == "xla":
         return "xla"
+    from .pallas_rhs import supports, supports_sharded
+
     if topo.is_sharded:
-        # sharded fields need the halo-exchange pad; the in-kernel BC logic
-        # only sees the local shard (the pallas-inside-shard_map path is a
-        # future optimization)
+        # the ghost-row kernel handles the common 1D (rows) decomposition;
+        # 2D meshes use the XLA path (x-ghost columns are lane-dim awkward)
+        if (topo.axis_y is not None and topo.axis_x is None and ny_local
+                and supports_sharded(p, ny_local, n_states)
+                and _on_tpu_or_forced(p)):
+            return "pallas_sharded"
         return "xla"
-    from .pallas_rhs import supports
 
     if p.backend == "pallas":
         if not supports(p, n_states):
@@ -113,10 +134,15 @@ def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1) -> str:
                 f"dtype={p.dtype}")
         return "pallas"
     # auto: fused Pallas kernel on real TPU when the config tiles cleanly
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if not on_tpu:
+    if not _on_tpu_or_forced(p):
         return "xla"
     return "pallas" if supports(p, n_states) else "xla"
+
+
+def _on_tpu_or_forced(p: SimParams) -> bool:
+    if p.backend == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False

@@ -271,3 +271,77 @@ class TestFusedCG:
         np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p),
                                    rtol=1e-3, atol=1e-5)
         assert abs(int(res_f.iters) - int(res_p.iters)) <= 2
+
+
+class TestShardedPallas:
+    """Ghost-row kernel variant inside shard_map (interpret mode, CPU mesh)."""
+
+    @pytest.mark.parametrize("bc", BCS)
+    def test_ghost_kernel_matches_topo_path(self, bc, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import blend_rhs_pallas_sharded
+        from bachelors_tpu.ops.rhs import eval_rhs
+        from bachelors_tpu.parallel.mesh import make_mesh
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(bc, ny=64, nx=128, S=0.25, m0=6.0)
+        F = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        U = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        kF = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        kU = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        w = [1.0, 0.371]
+
+        mesh, topo = make_mesh(shards_y=4)
+
+        def sharded_fn(F, U, kF, kU):
+            return blend_rhs_pallas_sharded(
+                [(F, U), (kF, kU)], w, p, topo.axis_y, fu=0.05,
+                interpret=True)
+
+        run = jax.shard_map(sharded_fn, mesh=mesh,
+                            in_specs=(P("y"),) * 4,
+                            out_specs=(P("y"), P("y")), check_vma=False)
+        with jax.set_mesh(mesh):
+            gF, gU = run(F, U, kF, kU)
+
+        want = eval_rhs([(F, U), (kF, kU)], w, p, Topology(), fu=0.05)
+        assert_match(gF, want[0])
+        assert_match(gU, want[1])
+
+    def test_ghost_kernel_euler_mode(self, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import blend_rhs_pallas_sharded
+        from bachelors_tpu.ops.rhs import euler_eval
+        from bachelors_tpu.parallel.mesh import make_mesh
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.NEUMANN, ny=64, nx=128, S=0.0)
+        F = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        U = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        mesh, topo = make_mesh(shards_y=4)
+        run = jax.shard_map(
+            lambda F, U: blend_rhs_pallas_sharded(
+                [(F, U)], [1.0], p, topo.axis_y, is_euler=True, interpret=True),
+            mesh=mesh, in_specs=(P("y"), P("y")),
+            out_specs=(P("y"), P("y")), check_vma=False)
+        with jax.set_mesh(mesh):
+            gF, gU = run(F, U)
+        want = euler_eval([(F, U)], [1.0], p, Topology())
+        assert_match(gF, want[0])
+        assert_match(gU, want[1])
+
+    def test_supports_sharded_gates(self):
+        from bachelors_tpu.ops.pallas_rhs import supports_sharded
+
+        p = params(BoundaryType.NEUMANN)
+        assert supports_sharded(p, 64)
+        assert not supports_sharded(p, 12)   # local rows not multiple of 8
+        assert not supports_sharded(p.replace(dtype="float64"), 64)
