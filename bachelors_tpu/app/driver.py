@@ -169,6 +169,10 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     jit_collect = {}
 
     def adv_collect(s, n, t_stop):
+        # scan length is static: round up to a power of two so the number of
+        # distinct compilations stays bounded (overshoot steps are masked to
+        # no-ops by t_stop inside advance_collect)
+        n = 1 << (max(n, 1) - 1).bit_length()
         if n not in jit_collect:
             jit_collect[n] = jax.jit(
                 lambda st, ts: advance_collect(stepper, st, n, t_stop=ts),
