@@ -239,6 +239,11 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         circle_fade=b.get_float(I, "circle_fade"),
         square_from=b.get_vec2(I, "square_from"),
         square_to=b.get_vec2(I, "square_to"),
+        noise_T=b.get_float(I, "noise_T", 0.0, required=False),
+        noise_phi=b.get_float(I, "noise_phi", 0.0, required=False),
+        noise_cells=b.get_int(I, "noise_cells", 8, required=False),
+        noise_octaves=b.get_int(I, "noise_octaves", 3, required=False),
+        noise_seed=b.get_int(I, "noise_seed", 0, required=False),
     )
 
     cfg = SimConfig(

@@ -27,6 +27,16 @@ class InitialConditions:
     square_from: tuple = (0.0, 0.0)
     square_to: tuple = (0.0, 0.0)
 
+    # Perlin-noise perturbations (the productization of the reference's
+    # noise generator, `cuda_random.cuh:242-364`; gated there behind
+    # COMPILE_NOISE): additive multi-octave noise on T and/or Phi, e.g. for
+    # nucleation/ensemble studies.  Noise is mean-centered.
+    noise_T: float = 0.0
+    noise_phi: float = 0.0
+    noise_cells: int = 8
+    noise_octaves: int = 3
+    noise_seed: int = 0
+
 
 def make_initial_fields(p: SimParams, ic: InitialConditions):
     """Returns (F0, U0) with shape (ny, nx), dtype p.dtype."""
@@ -61,4 +71,22 @@ def make_initial_fields(p: SimParams, ic: InitialConditions):
 
     F = factor * ic.inside_phi + (1 - factor) * ic.outside_phi
     U = factor * ic.inside_T + (1 - factor) * ic.outside_T
-    return F.astype(dtype), U.astype(dtype)
+    F, U = F.astype(dtype), U.astype(dtype)
+
+    if ic.noise_T != 0.0 or ic.noise_phi != 0.0:
+        import jax
+
+        from ..ops.random import perlin2d_octaves
+
+        key = jax.random.PRNGKey(ic.noise_seed)
+        kT, kF = jax.random.split(key)
+        cells = (ic.noise_cells, ic.noise_cells)
+        if ic.noise_T != 0.0:
+            nz = perlin2d_octaves(kT, (p.ny, p.nx), octaves=ic.noise_octaves,
+                                  base_cells=cells, dtype=dtype)
+            U = U + ic.noise_T * (nz - jnp.mean(nz))
+        if ic.noise_phi != 0.0:
+            nz = perlin2d_octaves(kF, (p.ny, p.nx), octaves=ic.noise_octaves,
+                                  base_cells=cells, dtype=dtype)
+            F = jnp.clip(F + ic.noise_phi * (nz - jnp.mean(nz)), 0.0, 1.0)
+    return F, U

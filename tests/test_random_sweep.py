@@ -73,3 +73,45 @@ class TestSweep:
                               report_path=str(tmp_path / "r.json"))
         assert res["explicit"][32]["iters"] == 20
         assert os.path.exists(tmp_path / "r.json")
+
+
+class TestNoisyInitialConditions:
+    def test_noise_applied_and_reproducible(self):
+        import bachelors_tpu as bt
+
+        p = bt.SimParams(nx=64, ny=64)
+        base = bt.InitialConditions(circle_center=(2, 2), circle_radius=0.3)
+        noisy = bt.InitialConditions(circle_center=(2, 2), circle_radius=0.3,
+                                     noise_T=0.05, noise_seed=7)
+        F0, U0 = bt.make_initial_fields(p, base)
+        F1, U1 = bt.make_initial_fields(p, noisy)
+        F2, U2 = bt.make_initial_fields(p, noisy)
+        np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+        np.testing.assert_array_equal(np.asarray(F1), np.asarray(F0))  # T-only
+        d = np.asarray(U1) - np.asarray(U0)
+        assert np.abs(d).max() > 0.01
+        assert abs(d.mean()) < 1e-3  # mean-centered
+        # different seed -> different field
+        U3 = np.asarray(bt.make_initial_fields(
+            p, bt.InitialConditions(circle_center=(2, 2), circle_radius=0.3,
+                                    noise_T=0.05, noise_seed=8))[1])
+        assert not np.array_equal(U3, np.asarray(U1))
+
+    def test_noise_phi_clipped(self):
+        import bachelors_tpu as bt
+
+        p = bt.SimParams(nx=48, ny=48)
+        ic = bt.InitialConditions(circle_center=(2, 2), circle_radius=0.3,
+                                  noise_phi=0.4, noise_seed=1)
+        F, U = bt.make_initial_fields(p, ic)
+        assert float(F.min()) >= 0.0 and float(F.max()) <= 1.0
+
+    def test_noise_config_keys(self):
+        from bachelors_tpu.io.config import parse_config
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_io_driver import CONFIG_TEXT
+
+        cfg = parse_config(CONFIG_TEXT + "\n[initial]\nnoise_T = 0.02\nnoise_seed = 3\n")
+        assert cfg.initial.noise_T == 0.02
+        assert cfg.initial.noise_seed == 3
