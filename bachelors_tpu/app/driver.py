@@ -81,7 +81,16 @@ def _echo_config(cfg: SimConfig) -> None:
 def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
                    acc: Optional[StatsAccumulator], save_config_once: List[int]) -> None:
     p = cfg.params
-    maps = {"F": np.asarray(state.F), "U": np.asarray(state.U)}
+    if np.asarray(state.F).ndim == 3:
+        # ensemble run: member 0 plus across-member mean/std maps
+        Fb = np.asarray(state.F)
+        Ub = np.asarray(state.U)
+        state = jax.tree.map(lambda a: a[0], state)
+        maps = {"F": Fb[0], "U": Ub[0],
+                "F_mean": Fb.mean(axis=0), "F_std": Fb.std(axis=0),
+                "U_mean": Ub.mean(axis=0), "U_std": Ub.std(axis=0)}
+    else:
+        maps = {"F": np.asarray(state.F), "U": np.asarray(state.U)}
     if cfg.debug:
         from ..core.boundary import pad2
 
@@ -114,6 +123,31 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     p = cfg.params
     state = _initial_state(cfg)
 
+    # Ensemble data parallelism: [tpu] ensemble = N runs N simulations with
+    # per-member noise seeds in one vmapped program.
+    ensemble = max(cfg.ensemble, 1)
+    if ensemble > 1:
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        if p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE:
+            raise ValueError("[tpu] ensemble does not support the adaptive "
+                             "solver (per-member time steps diverge)")
+        if cfg.init_path:
+            raise ValueError("[tpu] ensemble cannot resume from init_path")
+        if cfg.collect_stats or cfg.collect_step_residual:
+            raise ValueError("[tpu] ensemble does not support the stats "
+                             "pipeline yet (per-member stats are batched)")
+        members = []
+        for b in range(ensemble):
+            ic_b = _dc.replace(cfg.initial,
+                               noise_seed=cfg.initial.noise_seed + b)
+            F, U = make_initial_fields(p, ic_b)
+            members.append(make_state(F, U, p))
+        state = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        log.info(f"ensemble of {ensemble} members (vary noise_seed)")
+
     # Multi-chip: [tpu] shards_y/shards_x shard the grid over a device mesh
     # with ICI halo exchange (see parallel/).
     mesh = None
@@ -121,10 +155,16 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         from ..parallel.mesh import make_mesh, shard_state
         from ..parallel.sharded import make_sharded_stepper
 
+        if ensemble > 1:
+            raise ValueError("[tpu] ensemble with spatial shards from the "
+                             "driver is not wired yet; use "
+                             "parallel.sharded.make_ensemble_stepper directly")
         mesh, topo = make_mesh(shards_y=cfg.shards_y, shards_x=cfg.shards_x)
         log.info(f"sharding grid over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         stepper = make_sharded_stepper(p, mesh, topo)
         state = shard_state(state, mesh, topo)
+    elif ensemble > 1:
+        stepper = jax.vmap(make_stepper(p, topo))
     else:
         stepper = make_stepper(p, topo)
 
@@ -191,12 +231,15 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     # a half-step tolerance so rounding can't trigger a spurious extra step.
     time_eps = p.dt * 0.5 if fixed_dt else 1e-16
 
+    def _scalar(x):
+        return float(np.asarray(x).reshape(-1)[0])
+
     for target in events:
         while True:
             # For fixed dt the authoritative time is iter*dt in host f64
             # (exact); the f32 device-side t is for stats/snapshots only.
             if fixed_dt:
-                t_now = int(state.iter) * p.dt
+                t_now = int(np.asarray(state.iter).reshape(-1)[0]) * p.dt
             else:
                 t_now = float(state.t)
             if target - t_now < time_eps:
@@ -229,7 +272,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             now = time.perf_counter()
             if now - last_notif > 1:
                 last_notif = now
-                t_cur = float(state.t)
+                t_cur = _scalar(state.t)
                 log.info(f"... completed {t_cur / stop * 100:.2f}%")
 
         snapshots += 1
@@ -239,6 +282,8 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
 
     jax.block_until_ready(state.F)
     _mesh_stack.close()
+    state = state.replace(t=np.asarray(state.t).reshape(-1)[0],
+                          iter=np.asarray(state.iter).reshape(-1)[0])         if np.asarray(state.iter).ndim else state
     runtime = time.perf_counter() - t_start
     iters = int(state.iter)
     log.info("Finished!")

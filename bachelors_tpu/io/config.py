@@ -178,6 +178,7 @@ class SimConfig:
     # TPU extensions
     shards_y: int = 1
     shards_x: int = 1
+    ensemble: int = 1
 
 
 def load_config(path: str, overrides: Optional[List[str]] = None) -> SimConfig:
@@ -273,6 +274,7 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         debug=b.get_bool("program", "debug", False, required=False),
         shards_y=b.get_int("tpu", "shards_y", 1, required=False),
         shards_x=b.get_int("tpu", "shards_x", 1, required=False),
+        ensemble=b.get_int("tpu", "ensemble", 1, required=False),
     )
 
     # scale multiplier (`config.h:481-490`): scales the mesh and the domain

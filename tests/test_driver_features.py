@@ -85,3 +85,32 @@ def test_semi_implicit_corrector_loop():
     assert res[0] > 0
     assert res[1] <= res[0]
     assert np.isfinite(np.asarray(st2.F)).all()
+
+
+def test_ensemble_driver(tmp_path, monkeypatch):
+    """[tpu] ensemble = 3 runs 3 seed-varied sims in one vmapped program;
+    snapshots carry member-0 plus across-member mean/std maps."""
+    monkeypatch.chdir(tmp_path)
+    text = (CONFIG_TEXT
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.03\n[tpu]\nensemble = 3\n")
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    assert res.iters == 4
+    snap = load_bin_maps(os.path.join(res.save_folder, "maps_0001.bin"))
+    assert set(snap.maps) >= {"F", "U", "F_mean", "F_std", "U_mean", "U_std"}
+    # members differ (noise seeds) -> nonzero spread
+    assert snap.maps["U_std"].max() > 1e-5
+    # mean is a plausible field
+    assert np.isfinite(snap.maps["U_mean"]).all()
+
+
+def test_ensemble_rejects_adaptive(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    text = (CONFIG_TEXT.replace("solver = explicit", "solver = explicit-rk4-adaptive")
+            .replace("collect_stats = true", "collect_stats = false")
+            + "\n[tpu]\nensemble = 2\n")
+    open("c.ini", "w").write(text)
+    with pytest.raises(ValueError, match="adaptive"):
+        run_config_file("c.ini")
