@@ -71,9 +71,11 @@ def _neighbors(vc, vn_grp, vs_grp, bc: BoundaryType):
 
 
 @functools.partial(jax.jit, static_argnames=("bc", "C", "X", "Y", "with_s",
-                                             "blend", "ny", "nx", "interpret"))
+                                             "blend", "ny", "nx", "interpret",
+                                             "ghost"))
 def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
-                blend: bool, ny: int, nx: int, interpret: bool, v, s, r, beta):
+                blend: bool, ny: int, nx: int, interpret: bool, v, s, r, beta,
+                ghost: bool = False, g_lo=None, g_hi=None):
     """Fused (optionally blended) matvec + <p, Ap> partials.
 
     blend=False: p = v.  blend=True: the CG direction update is folded in --
@@ -95,6 +97,9 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
             i += 3
         sc = refs[i] if with_s else None
         i += 1 if with_s else 0
+        if ghost:
+            gl, gh = refs[i:i + 2]
+            i += 2
         outs = refs[i:]
 
         if blend:
@@ -104,7 +109,16 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
             ps = rs[:] + bt * vs[:]
         else:
             pc, pn, ps = vc[:], vn[:], vs[:]
-        N, S, E, W = _neighbors(pc, pn, ps, bc)
+        if ghost:
+            from .pallas_rhs import _pick_halo_rows_ghost
+
+            n_row, s_row = _pick_halo_rows_ghost(pn, ps, gl[:], gh[:])
+            ty_k = pc.shape[0]
+            N = jnp.where(_row_mask(pc, ty_k - 1), n_row, _roll(pc, -1, 0))
+            S = jnp.where(_row_mask(pc, 0), s_row, _roll(pc, 1, 0))
+            E, W = _shift_x(pc, bc, 0.0)
+        else:
+            N, S, E, W = _neighbors(pc, pn, ps, bc)
         if with_s:
             sv = sc[:]
             Av = (1 + C * sv) * pc + (X * sv) * (E + W) + (Y * sv) * (N + S)
@@ -133,6 +147,10 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
     if with_s:
         in_specs.append(fspec)
         args.append(s)
+    if ghost:
+        gspec = pl.BlockSpec((8, nx), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs += [gspec, gspec]
+        args += [g_lo, g_hi]
     out_specs = [fspec, _partial_spec(ty)]
     out_shape = [jax.ShapeDtypeStruct((ny, nx), jnp.float32),
                  jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)]
@@ -172,6 +190,29 @@ def aniso_matvec_pAp(A, s, v, interpret: bool = False):
     ny, nx = v.shape
     return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, False, ny, nx,
                        interpret, v, s, v, 0.0)
+
+
+def cross_matvec_pAp_sharded(A, v, axis_y: str, interpret: bool = False):
+    """Sharded twin of ``cross_matvec_pAp``: the y-halo arrives as ghost
+    rows over ICI; the returned <v, Av> is SHARD-LOCAL (caller psums)."""
+    from .pallas_rhs import _ghost_rows
+
+    ny, nx = v.shape
+    g_lo, g_hi = _ghost_rows([(v, v)], [1.0], A.boundary, 0, axis_y, 0.0)
+    return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, False, ny, nx,
+                       interpret, v, v, v, 0.0, ghost=True, g_lo=g_lo,
+                       g_hi=g_hi)
+
+
+def aniso_matvec_pAp_sharded(A, s, v, axis_y: str, interpret: bool = False):
+    """Sharded twin of ``aniso_matvec_pAp`` (local <v, Av>; caller psums)."""
+    from .pallas_rhs import _ghost_rows
+
+    ny, nx = v.shape
+    g_lo, g_hi = _ghost_rows([(v, v)], [1.0], A.boundary, 0, axis_y, 0.0)
+    return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, False, ny, nx,
+                       interpret, v, s, v, 0.0, ghost=True, g_lo=g_lo,
+                       g_hi=g_hi)
 
 
 def cross_advance_p_matvec(A, r, p, beta, interpret: bool = False):

@@ -493,18 +493,19 @@ def _ghost_rows(states, weights, bc: BoundaryType, which: int, axis_name: str,
     return jnp.pad(ghost_lo, pad), jnp.pad(ghost_hi, pad)
 
 
-def blend_rhs_pallas_sharded(states, weights, p: SimParams, axis_y: str,
-                             fu=0.0, dirichlet_value=0.0,
-                             is_euler: bool = False, interpret: bool = False):
-    """Fused RHS stage inside shard_map (grid sharded on rows).
+def _stage_call_sharded(states, weights, p: SimParams, axis_y: str, mode: str,
+                        extra=(), fu=0.0, dirichlet_value=0.0, tau=0.0,
+                        interpret: bool = False):
+    """Any fused stage inside shard_map (grid sharded on rows).
 
     The y-halo at shard seams rides ICI as two blended ghost rows per field
     (4 small ppermutes per stage); everything else -- blending, x-BCs,
-    stencil, physics -- stays in the single fused kernel per shard.  The
-    x dimension must be unsharded (the 1D row decomposition).
+    stencil, physics, mode-specific combinations -- stays in the single
+    fused kernel per shard.  Extra center-only inputs (rk4_combine) need no
+    halo.  The x dimension must be unsharded (1D row decomposition).
     """
     n = len(states)
-    w = _scalar_row(weights, n, dirichlet_value, fu, 0.0)
+    w = _scalar_row(weights, n, dirichlet_value, fu, tau)
     gF_lo, gF_hi = _ghost_rows(states, weights, p.Phi_boundary, 0, axis_y,
                                dirichlet_value)
     gU_lo, gU_hi = _ghost_rows(states, weights, p.T_boundary, 1, axis_y,
@@ -513,10 +514,49 @@ def blend_rhs_pallas_sharded(states, weights, p: SimParams, axis_y: str,
     for F, U in states:
         fields += [F, F, F, U, U, U]
     fields += [gF_lo, gF_hi, gU_lo, gU_hi]
+    fields += list(extra)
     ny_local = states[0][0].shape[0]
-    out = _call(p, n, "euler" if is_euler else "rhs", interpret, w, *fields,
-                ghost=True, ny_local=ny_local)
+    return _call(p, n, mode, interpret, w, *fields,
+                 ghost=True, ny_local=ny_local)
+
+
+def blend_rhs_pallas_sharded(states, weights, p: SimParams, axis_y: str,
+                             fu=0.0, dirichlet_value=0.0,
+                             is_euler: bool = False, interpret: bool = False):
+    """Fused RHS stage inside shard_map (see ``_stage_call_sharded``)."""
+    out = _stage_call_sharded(states, weights, p, axis_y,
+                              "euler" if is_euler else "rhs",
+                              fu=fu, dirichlet_value=dirichlet_value,
+                              interpret=interpret)
     return out[0], out[1]
+
+
+def rk4_final_stage_pallas_sharded(x, k1, k2, k3, p: SimParams, axis_y: str,
+                                   fu=0.0, dirichlet_value=0.0,
+                                   interpret: bool = False):
+    """Sharded twin of ``rk4_final_stage_pallas``."""
+    out = _stage_call_sharded([x, k3], [1.0, p.dt], p, axis_y, "rk4_combine",
+                              extra=[k1[0], k1[1], k2[0], k2[1]],
+                              fu=fu, dirichlet_value=dirichlet_value,
+                              interpret=interpret)
+    return out[0], out[1]
+
+
+def rkm_final_stage_pallas_sharded(x, k1, k3, k4, tau, p: SimParams,
+                                   axis_y: str, fu=0.0, dirichlet_value=0.0,
+                                   interpret: bool = False):
+    """Sharded twin of ``rkm_final_stage_pallas``.
+
+    Returns (next_F, next_U, emax_F, emax_U) with SHARD-LOCAL error maxima;
+    the caller must pmax them over the mesh axis.
+    """
+    out = _stage_call_sharded([x, k1, k3, k4],
+                              [1.0, tau / 2, -3 * tau / 2, 2 * tau],
+                              p, axis_y, "rkm_final", fu=fu,
+                              dirichlet_value=dirichlet_value, tau=tau,
+                              interpret=interpret)
+    next_F, next_U, err_F, err_U = out
+    return next_F, next_U, jnp.max(err_F), jnp.max(err_U)
 
 
 def supports_sharded(p: SimParams, ny_local: int, n_states: int = 4) -> bool:

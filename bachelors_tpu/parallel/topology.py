@@ -124,3 +124,11 @@ class Topology:
     def count(self, A) -> jnp.ndarray:
         n = jnp.asarray(A.size, jnp.float32)
         return self._all(n, lax.psum)
+
+    # scalar all-reduces (for values already reduced per shard, e.g. fused
+    # kernels emitting local partials)
+    def allsum(self, v) -> jnp.ndarray:
+        return self._all(v, lax.psum)
+
+    def allmax(self, v) -> jnp.ndarray:
+        return self._all(v, lax.pmax)

@@ -78,8 +78,11 @@ def cg_solve(
             from ..ops.pallas_cg import update_xr_rr
 
             Ap, pAp = matvec_pAp(p)
+            # fused kernels emit shard-local partials; identity single-chip
+            pAp = topo.allsum(pAp)
             alpha = rr / jnp.maximum(pAp, eps)
             x, r, rr_new = update_xr_rr(x, r, p, Ap, alpha)
+            rr_new = topo.allsum(rr_new)
         else:
             Ap = matvec(p)
             pAp = topo.dot(p, Ap)

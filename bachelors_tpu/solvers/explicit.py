@@ -43,10 +43,16 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     k1 = eval_rhs([(F, U)], [one], p, topo, fu)
     k2 = eval_rhs([(F, U), k1], [one, dt / 2], p, topo, fu)
     k3 = eval_rhs([(F, U), k2], [one, dt / 2], p, topo, fu)
-    if _resolve_backend(p, topo, 2) == "pallas":
+    backend = _resolve_backend(p, topo, 2, ny_local=F.shape[0])
+    if backend == "pallas":
         from ..ops.pallas_rhs import rk4_final_stage_pallas
 
         return rk4_final_stage_pallas((F, U), k1, k2, k3, p, fu)
+    if backend == "pallas_sharded":
+        from ..ops.pallas_rhs import rk4_final_stage_pallas_sharded
+
+        return rk4_final_stage_pallas_sharded((F, U), k1, k2, k3, p,
+                                              topo.axis_y, fu)
     k4 = eval_rhs([(F, U), k3], [one, dt], p, topo, fu)
     next_F = F + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
     next_U = U + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
@@ -87,7 +93,8 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     delta = jnp.asarray(max(min(p.Phi_tolerance, p.T_tolerance), 1e-20), dtype)
     tol_F = jnp.asarray(p.Phi_tolerance, dtype)
     tol_U = jnp.asarray(p.T_tolerance, dtype)
-    fused = _resolve_backend(p, topo, 4) == "pallas"
+    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0])
+    fused = backend in ("pallas", "pallas_sharded")
 
     # k1 does not depend on tau: computed once outside the retry loop
     # (`simulation.cu:386`).
@@ -106,10 +113,18 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         k3 = eval_rhs([(F, U), (k1_F, k1_U), k2], [one, tau / 6, tau / 6], p, topo, fu)
         k4 = eval_rhs([(F, U), (k1_F, k1_U), k3], [one, tau / 8, 3 * tau / 8], p, topo, fu)
         if fused:
-            from ..ops.pallas_rhs import rkm_final_stage_pallas
+            if backend == "pallas_sharded":
+                from ..ops.pallas_rhs import rkm_final_stage_pallas_sharded
 
-            nF, nU, emax_F, emax_U = rkm_final_stage_pallas(
-                (F, U), (k1_F, k1_U), k3, k4, tau, p, fu)
+                nF, nU, emax_F, emax_U = rkm_final_stage_pallas_sharded(
+                    (F, U), (k1_F, k1_U), k3, k4, tau, p, topo.axis_y, fu)
+                emax_F = topo.allmax(emax_F)
+                emax_U = topo.allmax(emax_U)
+            else:
+                from ..ops.pallas_rhs import rkm_final_stage_pallas
+
+                nF, nU, emax_F, emax_U = rkm_final_stage_pallas(
+                    (F, U), (k1_F, k1_U), k3, k4, tau, p, fu)
             eps_F = tau / 3 * emax_F
             eps_U = tau / 3 * emax_U
         else:

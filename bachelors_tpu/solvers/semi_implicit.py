@@ -38,25 +38,38 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     # ms/step at 2048^2: the duplicated r/p halo transfers and larger loop
     # carry outweigh the saved axpy pass), so the pAp-fusion form is wired.
     from ..ops.rhs import _resolve_backend
-    from ..ops.pallas_cg import aniso_matvec_pAp, cross_matvec_pAp, supports_cg
+    from ..ops.pallas_cg import (aniso_matvec_pAp, aniso_matvec_pAp_sharded,
+                                 cross_matvec_pAp, cross_matvec_pAp_sharded)
 
-    fused = (_resolve_backend(p, topo, 3) == "pallas" and supports_cg(p, topo))
+    backend = _resolve_backend(p, topo, 3, ny_local=F.shape[0])
 
     A_F = AnisotropyMatrix.implicit_phase(p)
+    if backend == "pallas":
+        mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
+    elif backend == "pallas_sharded":
+        mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y)
+    else:
+        mv_F = None
     next_F, res_F = cg_solve(
         lambda v: anisotropy_matvec(A_F, s, v, topo),
         b_F, x0=F, tolerance=p.Phi_tolerance,
         max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo,
-        matvec_pAp=(lambda v: aniso_matvec_pAp(A_F, s, v)) if fused else None)
+        matvec_pAp=mv_F)
 
     b_U = U_base + p.L * (next_F - F) + p.dt * (1 - p.gamma) * U_base
 
     A_U = CrossMatrix.implicit_heat(p)
+    if backend == "pallas":
+        mv_U = lambda v: cross_matvec_pAp(A_U, v)
+    elif backend == "pallas_sharded":
+        mv_U = lambda v: cross_matvec_pAp_sharded(A_U, v, topo.axis_y)
+    else:
+        mv_U = None
     next_U, res_U = cg_solve(
         lambda v: cross_matvec(A_U, v, topo),
         b_U, x0=U, tolerance=p.T_tolerance,
         max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
-        matvec_pAp=(lambda v: cross_matvec_pAp(A_U, v)) if fused else None)
+        matvec_pAp=mv_U)
     return next_F, next_U, res_F, res_U
 
 

@@ -345,3 +345,106 @@ class TestShardedPallas:
         assert supports_sharded(p, 64)
         assert not supports_sharded(p, 12)   # local rows not multiple of 8
         assert not supports_sharded(p.replace(dtype="float64"), 64)
+
+    def test_rk4_final_stage_sharded(self, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import (rk4_final_stage_pallas,
+                                                  rk4_final_stage_pallas_sharded)
+        from bachelors_tpu.parallel.mesh import make_mesh
+
+        p = params(BoundaryType.NEUMANN, ny=64, nx=128, S=0.25, m0=6.0)
+        arrs = rand_states(rng, p, 4)
+        x, k1, k2, k3 = arrs
+        mesh, topo = make_mesh(shards_y=4)
+        run = jax.shard_map(
+            lambda *a: rk4_final_stage_pallas_sharded(
+                (a[0], a[1]), (a[2], a[3]), (a[4], a[5]), (a[6], a[7]),
+                p, topo.axis_y, interpret=True),
+            mesh=mesh, in_specs=(P("y"),) * 8, out_specs=(P("y"), P("y")),
+            check_vma=False)
+        flat = [f for pair in arrs for f in pair]
+        with jax.set_mesh(mesh):
+            gF, gU = run(*flat)
+        wF, wU = rk4_final_stage_pallas(x, k1, k2, k3, p, interpret=True)
+        assert_match(gF, wF)
+        assert_match(gU, wU)
+
+    def test_rkm_final_stage_sharded(self, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import (rkm_final_stage_pallas,
+                                                  rkm_final_stage_pallas_sharded)
+        from bachelors_tpu.parallel.mesh import make_mesh
+
+        p = params(BoundaryType.PERIODIC, ny=64, nx=128, S=0.0)
+        arrs = rand_states(rng, p, 4)
+        x, k1, k3, k4 = arrs
+        tau = 2.3e-6
+        mesh, topo = make_mesh(shards_y=4)
+
+        def fn(*a):
+            import jax.lax as lax
+            nF, nU, eF, eU = rkm_final_stage_pallas_sharded(
+                (a[0], a[1]), (a[2], a[3]), (a[4], a[5]), (a[6], a[7]),
+                tau, p, topo.axis_y, interpret=True)
+            return nF, nU, lax.pmax(eF, "y"), lax.pmax(eU, "y")
+
+        run = jax.shard_map(fn, mesh=mesh, in_specs=(P("y"),) * 8,
+                            out_specs=(P("y"), P("y"), P(), P()),
+                            check_vma=False)
+        flat = [f for pair in arrs for f in pair]
+        with jax.set_mesh(mesh):
+            gF, gU, geF, geU = run(*flat)
+        wF, wU, weF, weU = rkm_final_stage_pallas(x, k1, k3, k4, tau, p,
+                                                  interpret=True)
+        assert_match(gF, wF)
+        assert_match(gU, wU)
+        assert float(geF) == pytest.approx(float(weF), rel=1e-4)
+        assert float(geU) == pytest.approx(float(weU), rel=1e-4)
+
+    def test_cg_matvec_sharded(self, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_cg import (aniso_matvec_pAp_sharded,
+                                                 cross_matvec_pAp_sharded)
+        from bachelors_tpu.ops.stencil import (AnisotropyMatrix, CrossMatrix,
+                                               anisotropy_matvec, cross_matvec)
+        from bachelors_tpu.parallel.mesh import make_mesh
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.NEUMANN, ny=64, nx=128, dt=1e-3)
+        v = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        sm = np.abs(rng.normal(size=(p.ny, p.nx))).astype(np.float32)
+        mesh, topo = make_mesh(shards_y=4)
+        A_U = CrossMatrix.implicit_heat(p)
+        A_F = AnisotropyMatrix.implicit_phase(p)
+
+        def fn(v, sm):
+            import jax.lax as lax
+            Av, pAp = cross_matvec_pAp_sharded(A_U, v, topo.axis_y,
+                                               interpret=True)
+            Bv, pBp = aniso_matvec_pAp_sharded(A_F, sm, v, topo.axis_y,
+                                               interpret=True)
+            return Av, Bv, lax.psum(pAp, "y"), lax.psum(pBp, "y")
+
+        run = jax.shard_map(fn, mesh=mesh, in_specs=(P("y"), P("y")),
+                            out_specs=(P("y"), P("y"), P(), P()),
+                            check_vma=False)
+        with jax.set_mesh(mesh):
+            Av, Bv, pAp, pBp = run(v, sm)
+        wA = np.asarray(cross_matvec(A_U, v, Topology()))
+        wB = np.asarray(anisotropy_matvec(A_F, sm, v, Topology()))
+        assert_match(Av, wA)
+        assert_match(Bv, wB)
+        assert float(pAp) == pytest.approx(float((v * wA).sum()), rel=1e-4)
+        assert float(pBp) == pytest.approx(float((v * wB).sum()), rel=1e-4)
