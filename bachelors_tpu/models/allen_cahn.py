@@ -58,14 +58,22 @@ def blend(arrays: Sequence[jnp.ndarray], weights: Sequence[jnp.ndarray]) -> jnp.
 
 
 def _anisotropy(gx, gy, p: SimParams):
-    """g(theta) and |grad Phi| from gradient components."""
+    """g(theta) and |grad Phi| from gradient components.
+
+    Written with the where-guard pattern so primal values are bit-identical
+    to the naive form (atan2(0,0) == 0 like the reference) while autodiff
+    stays finite at |grad| == 0 (sqrt and atan2 have NaN gradients there --
+    the steppers are differentiable, see tests/test_autodiff.py).
+    """
     if p.f32_transcendentals and gx.dtype != jnp.float32:
         gx32, gy32 = gx.astype(jnp.float32), gy.astype(jnp.float32)
     else:
         gx32, gy32 = gx, gy
-    theta = jnp.arctan2(gy32, gx32)
+    r2 = gx32 * gx32 + gy32 * gy32
+    zero = r2 == 0
+    theta = jnp.arctan2(gy32, jnp.where(zero, 1.0, gx32))
     g = 1 - jnp.asarray(p.S, gx32.dtype) * jnp.cos(p.m0 * theta + p.theta0)
-    norm = jnp.sqrt(gx32 * gx32 + gy32 * gy32)
+    norm = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, r2)))
     return g.astype(gx.dtype), norm.astype(gx.dtype)
 
 
