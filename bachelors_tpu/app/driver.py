@@ -244,7 +244,10 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 t_now = float(state.t)
             if target - t_now < time_eps:
                 break
-            if acc is None and not cfg.collect_step_residual:
+            if acc is None:
+                # (step residuals without collect_stats are computed in-step
+                # for parity but have no sink -- reference behaves the same,
+                # `main.cpp:554` -- so the fast path is used)
                 if fixed_dt:
                     # exact host-side step count (reference trigger
                     # semantics: first iter with t >= target)

@@ -86,7 +86,7 @@ def run_interactive(cfg: SimConfig) -> None:
 
     p = cfg.params
     state = _initial_state(cfg)
-    stepper = jax.jit(make_stepper(p))
+    stepper_box = [jax.jit(make_stepper(p))]
     vs = ViewerState()
     vmin, vmax = cfg.display_min, cfg.display_max
 
@@ -110,6 +110,9 @@ def run_interactive(cfg: SimConfig) -> None:
         elif k == "c":
             cfg.params = cfg.params.replace(
                 do_corrector_loop=not cfg.params.do_corrector_loop)
+            # params are static in the compiled stepper: rebuild it so the
+            # toggle actually takes effect (jit caches both variants)
+            stepper_box[0] = jax.jit(make_stepper(cfg.params))
             log.info(f"corrector loop {cfg.params.do_corrector_loop}")
         elif k == "s":
             vs.want_snapshot = True
@@ -141,13 +144,14 @@ def run_interactive(cfg: SimConfig) -> None:
     while not vs.closed and float(state.t) < cfg.stop_time:
         stepped = False
         if not vs.paused or vs.remaining_steps >= 1:
-            state, stats = stepper(state)
+            state, stats = stepper_box[0](state)
             if vs.remaining_steps >= 1:
                 vs.remaining_steps -= 1
             stepped = True
         if vs.want_snapshot:
             vs.want_snapshot = False
             snap_idx += 1
+            os.makedirs(cfg.snapshot_folder or ".", exist_ok=True)
             _save_snapshot(cfg.snapshot_folder or ".", snap_idx, state, cfg,
                            None, save_once)
             log.info("on-demand snapshot saved")

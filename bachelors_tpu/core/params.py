@@ -150,5 +150,6 @@ def rewire_params_for_exact(p: SimParams) -> SimParams:
     dt = p.dt if p.solver == SolverType.EXACT else A / 4 * h * h
     return p.replace(
         Tm=0.0, L=1.0, dt=dt, a=1.0, b=1.0, alpha=1.0, beta=1 / 0.001,
-        S=0.0, xi=h * 11 / 10, do_exact=True,
+        S=0.0, xi=p.L0 / p.nx * 11 / 10,  # reference uses L0/nx (config.h:507)
+        do_exact=True,
     )

@@ -258,8 +258,8 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         snapshot_initial_conditions=b.get_bool("snapshot", "snapshot_initial_conditions"),
         snapshot_folder=b.get_str("snapshot", "folder"),
         snapshot_netcdf=b.get_bool("snapshot", "netcdf", False, required=False),
-        snapshot_prefix=b.get_str("snapshot", "prefix", "", required=False),
-        snapshot_postfix=b.get_str("snapshot", "postfix", "", required=False),
+        snapshot_prefix=b.get_str("snapshot", "prefix"),
+        snapshot_postfix=b.get_str("snapshot", "postfix"),
         run_simulation=b.get_bool("program", "run_simulation"),
         run_tests=b.get_bool("program", "run_tests"),
         run_benchmarks=b.get_bool("program", "run_benchmarks"),

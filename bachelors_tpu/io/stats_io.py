@@ -41,7 +41,14 @@ class StatsAccumulator:
         ))
 
     def save_csv(self, path: str, nx: int, ny: int, dt: float) -> None:
-        """Write-or-append, then clear (reference snapshot-flush protocol)."""
+        """Write-or-append, then clear (reference snapshot-flush protocol).
+
+        An empty FIRST flush is skipped entirely: the header's per-corrector
+        residual columns are sized from step_res_count, which is only known
+        once rows exist (writing it early would freeze the schema at 0
+        residual slots and orphan later columns)."""
+        if not self.rows and self.writes == 0:
+            return
         append = self.writes != 0
         with open(path, "ab" if append else "wb") as fb:
             f = _TextShim(fb)

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.params import BoundaryType
 from .pallas_rhs import (_pick_halo_rows, _roll, _row_mask, _shift_x,
-                         _tile_y)
+                         _tile_y, make_halo_row_maps)
 
 
 def _partial_spec(ty):
@@ -35,27 +35,9 @@ def _partial_spec(ty):
 
 
 def _halo_specs(ny, nx, ty, bc: BoundaryType):
-    g = ty // 8
-    n_groups = ny // 8
-
-    def center(i):
-        return (i, 0)
-
-    if bc == BoundaryType.PERIODIC:
-        def north(i):
-            return (((i + 1) * g) % n_groups, 0)
-
-        def south(i):
-            return ((i * g - 1) % n_groups, 0)
-    else:
-        def north(i):
-            return (jnp.minimum((i + 1) * g, n_groups - 1), 0)
-
-        def south(i):
-            return (jnp.maximum(i * g - 1, 0), 0)
-
+    north, south = make_halo_row_maps(ny, ty, bc)
     return [
-        pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, nx), north, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, nx), south, memory_space=pltpu.VMEM),
     ]
@@ -262,9 +244,3 @@ def update_xr_rr(x, r, pv, Ap, alpha, interpret: bool = False):
     ny, nx = x.shape
     return _update_xr_rr(ny, nx, interpret, x, r, pv, Ap, alpha)
 
-
-def supports_cg(p, topo) -> bool:
-    """Fused CG kernels: single-chip f32 with clean tiling."""
-    from .pallas_rhs import supports
-
-    return (not topo.is_sharded) and p.dtype == "float32" and supports(p, 3)

@@ -127,6 +127,30 @@ def _pick_halo_rows(center, north_grp, south_grp, bc: BoundaryType, d_eff):
     return north_row, south_row
 
 
+def make_halo_row_maps(ny: int, ty: int, bc: BoundaryType):
+    """Index maps for the (8, nx) halo row-groups, in 8-row-block units.
+
+    north = the group starting at row (i+1)*ty, south = the group containing
+    row i*ty - 1; wrapped for periodic, clamped otherwise (Neumann exact;
+    Dirichlet mirrored in-kernel).  Shared by the RHS and CG kernels.
+    """
+    g = ty // 8
+    n_groups = ny // 8
+    if bc == BoundaryType.PERIODIC:
+        def north(i):
+            return (((i + 1) * g) % n_groups, 0)
+
+        def south(i):
+            return ((i * g - 1) % n_groups, 0)
+    else:
+        def north(i):
+            return (jnp.minimum((i + 1) * g, n_groups - 1), 0)
+
+        def south(i):
+            return (jnp.maximum(i * g - 1, 0), 0)
+    return north, south
+
+
 def _pick_halo_rows_ghost(north_grp, south_grp, ghost_lo, ghost_hi):
     """Ghost-row variant for sharded execution: the y-BC/neighbor rows at
     the shard edges were produced outside the kernel (ppermute halo exchange
@@ -312,29 +336,12 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
         clamped first program.
     """
     ny, nx = p.ny, p.nx
-    g = ty // 8
-    n_groups = ny // 8
 
     def center(i):
         return (i, 0)
 
-    def make_row_maps(bc: BoundaryType):
-        if bc == BoundaryType.PERIODIC:
-            def north(i):
-                return (((i + 1) * g) % n_groups, 0)
-
-            def south(i):
-                return ((i * g - 1) % n_groups, 0)
-        else:  # clamp (Neumann semantics; Dirichlet fixed up in-kernel)
-            def north(i):
-                return (jnp.minimum((i + 1) * g, n_groups - 1), 0)
-
-            def south(i):
-                return (jnp.maximum(i * g - 1, 0), 0)
-        return north, south
-
-    f_north, f_south = make_row_maps(p.Phi_boundary)
-    u_north, u_south = make_row_maps(p.T_boundary)
+    f_north, f_south = make_halo_row_maps(ny, ty, p.Phi_boundary)
+    u_north, u_south = make_halo_row_maps(ny, ty, p.T_boundary)
 
     in_specs = [pl.BlockSpec((1, n_states + 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)]

@@ -43,7 +43,9 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     k1 = eval_rhs([(F, U)], [one], p, topo, fu)
     k2 = eval_rhs([(F, U), k1], [one, dt / 2], p, topo, fu)
     k3 = eval_rhs([(F, U), k2], [one, dt / 2], p, topo, fu)
-    backend = _resolve_backend(p, topo, 2, ny_local=F.shape[0])
+    # the rk4_combine kernel holds 2 blend states + 4 extra center blocks =
+    # the VMEM footprint of 4 state-pairs; gate capacity accordingly
+    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0])
     if backend == "pallas":
         from ..ops.pallas_rhs import rk4_final_stage_pallas
 

@@ -275,3 +275,24 @@ def test_driver_sharded_matches_single(tmp_path, monkeypatch):
     np.testing.assert_allclose(f2.maps["F"], f1.maps["F"], rtol=0, atol=1e-6)
     np.testing.assert_allclose(f2.maps["U"], f1.maps["U"], rtol=0, atol=1e-6)
     assert f2.iter == f1.iter
+
+
+def test_stats_csv_empty_first_flush_keeps_residual_columns(tmp_path):
+    """Regression (review finding): a first flush with no rows must not
+    freeze the header at 0 residual columns."""
+    import jax.numpy as jnp
+
+    from bachelors_tpu.core.params import SimParams
+    from bachelors_tpu.core.state import empty_stats
+
+    acc = StatsAccumulator()
+    path = str(tmp_path / "stats.csv")
+    acc.save_csv(path, 16, 16, 5e-6)      # nothing collected yet
+    assert not os.path.exists(path)        # skipped entirely
+
+    s = empty_stats(SimParams())
+    s.step_res_count = jnp.int32(2)
+    acc.collect(s)
+    acc.save_csv(path, 16, 16, 5e-6)
+    header = open(path).read().splitlines()[1]
+    assert '"step_res_L1[1]"' in header

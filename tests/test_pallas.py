@@ -448,3 +448,20 @@ class TestShardedPallas:
         assert_match(Bv, wB)
         assert float(pAp) == pytest.approx(float((v * wA).sum()), rel=1e-4)
         assert float(pBp) == pytest.approx(float((v * wB).sum()), rel=1e-4)
+
+
+def test_rk4_fused_gate_uses_full_capacity():
+    """Regression: the rk4_combine kernel holds 2 blend states + 4 extra
+    blocks; backend resolution for that stage must use the full VMEM
+    footprint (n_states=4) or wide grids crash with ty=0 (review finding)."""
+    from bachelors_tpu.ops.rhs import _resolve_backend
+    from bachelors_tpu.parallel.topology import Topology
+
+    # supports(p, 2) is True but supports(p, 4) is False at this width
+    p = params(BoundaryType.NEUMANN, nx=16384, ny=16, backend="pallas")
+    assert supports(p, 2) and not supports(p, 4)
+    # the gate the rk4 fused stage uses (capacity 4) must reject loudly
+    with pytest.raises(ValueError, match="unsupported"):
+        _resolve_backend(p, Topology(), 4, ny_local=16)
+    # while plain 2-state stages remain eligible
+    assert _resolve_backend(p, Topology(), 2, ny_local=16) == "pallas"
