@@ -110,6 +110,10 @@ class SimParams:
     f32_transcendentals: bool = True
     # Kernel backend for the fused RHS: "auto" | "pallas" | "xla"
     backend: str = "auto"
+    # Reverse-mode differentiability through the semi-implicit CG solves
+    # (lax.custom_linear_solve adjoints).  Costs iteration-count diagnostics
+    # (reported as -1) and forces the XLA backend inside the solves.
+    differentiable: bool = False
 
     # ---- derived helpers (not fields) ----
     @property

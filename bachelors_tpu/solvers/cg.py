@@ -107,6 +107,53 @@ def cg_solve(
     return x, res
 
 
+def cg_solve_diff(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tolerance: float = 1.0e-5,
+    max_iters: int = 10,
+    epsilon: float = 1.0e-10,
+    topo: Topology = Topology(),
+):
+    """Reverse-mode-differentiable CG via ``lax.custom_linear_solve``.
+
+    The operators here are symmetric, so the adjoint system A^T lam = g is
+    solved with the SAME CG (implicit-function-theorem gradients -- no
+    differentiation through the iteration itself), and gradients w.r.t.
+    parameters closed over by ``matvec`` (e.g. the anisotropy map s) flow
+    automatically.  Iteration-count diagnostics are not available on this
+    path (custom_linear_solve returns only x); ``CGResult.error`` is
+    recomputed from the true residual and ``iters`` is reported as -1.
+    Used when ``SimParams.differentiable`` is set; the default path is
+    ``cg_solve`` (exact reference diagnostics).
+    """
+    from jax import lax
+
+    def solve(mv, rhs):
+        x, _res = cg_solve(mv, rhs, x0=x0, tolerance=tolerance,
+                           max_iters=max_iters, epsilon=epsilon, topo=topo)
+        return x
+
+    def transpose_solve(mv, rhs):
+        # the adjoint RHS is gradient-like: the field warm start would be a
+        # poor (potentially harmful under an iteration cap) initial guess
+        x, _res = cg_solve(mv, rhs, x0=None, tolerance=tolerance,
+                           max_iters=max_iters, epsilon=epsilon, topo=topo)
+        return x
+
+    x = lax.custom_linear_solve(matvec, b, solve=solve,
+                                transpose_solve=transpose_solve,
+                                symmetric=True)
+    r = b - matvec(x)
+    N = topo.count(b).astype(b.dtype)
+    res = CGResult(error=jnp.sqrt(topo.dot(r, r) / N),
+                   iters=jnp.asarray(-1, jnp.int32),
+                   converged=jnp.asarray(True))
+    return x, res
+
+
 def cg_solve_fused(
     matvec: Callable,
     matvec_pAp: Callable,

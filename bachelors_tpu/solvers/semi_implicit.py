@@ -42,6 +42,8 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
                                  cross_matvec_pAp, cross_matvec_pAp_sharded)
 
     backend = _resolve_backend(p, topo, 3, ny_local=F.shape[0])
+    if p.differentiable:
+        backend = "xla"  # adjoint solves need the differentiable path
 
     A_F = AnisotropyMatrix.implicit_phase(p)
     if backend == "pallas":
@@ -50,11 +52,14 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y)
     else:
         mv_F = None
-    next_F, res_F = cg_solve(
+    solver_fn = cg_solve
+    if p.differentiable:
+        from .cg import cg_solve_diff as solver_fn
+    next_F, res_F = solver_fn(
         lambda v: anisotropy_matvec(A_F, s, v, topo),
         b_F, x0=F, tolerance=p.Phi_tolerance,
         max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo,
-        matvec_pAp=mv_F)
+        **({} if p.differentiable else {"matvec_pAp": mv_F}))
 
     b_U = U_base + p.L * (next_F - F) + p.dt * (1 - p.gamma) * U_base
 
@@ -65,11 +70,11 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         mv_U = lambda v: cross_matvec_pAp_sharded(A_U, v, topo.axis_y)
     else:
         mv_U = None
-    next_U, res_U = cg_solve(
+    next_U, res_U = solver_fn(
         lambda v: cross_matvec(A_U, v, topo),
         b_U, x0=U, tolerance=p.T_tolerance,
         max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
-        matvec_pAp=mv_U)
+        **({} if p.differentiable else {"matvec_pAp": mv_U}))
     return next_F, next_U, res_F, res_U
 
 
