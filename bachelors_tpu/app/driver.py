@@ -26,7 +26,6 @@ import numpy as np
 from ..core.params import SolverType
 from ..core.state import SimState, make_state
 from ..models.initial import make_initial_fields
-from ..models.allen_cahn import debug_maps
 from ..parallel.topology import Topology
 from ..solvers.base import make_stepper
 from ..solvers.run import advance_collect, advance_n, advance_until
@@ -81,24 +80,19 @@ def _echo_config(cfg: SimConfig) -> None:
 def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
                    acc: Optional[StatsAccumulator], save_config_once: List[int]) -> None:
     p = cfg.params
+    from .viewer import available_maps
+
     if np.asarray(state.F).ndim == 3:
         # ensemble run: member 0 plus across-member mean/std maps
         Fb = np.asarray(state.F)
         Ub = np.asarray(state.U)
         state = jax.tree.map(lambda a: a[0], state)
-        maps = {"F": Fb[0], "U": Ub[0],
-                "F_mean": Fb.mean(axis=0), "F_std": Fb.std(axis=0),
-                "U_mean": Ub.mean(axis=0), "U_std": Ub.std(axis=0)}
+        extra = {"F_mean": Fb.mean(axis=0), "F_std": Fb.std(axis=0),
+                 "U_mean": Ub.mean(axis=0), "U_std": Ub.std(axis=0)}
     else:
-        maps = {"F": np.asarray(state.F), "U": np.asarray(state.U)}
-    if cfg.debug:
-        from ..core.boundary import pad2
-
-        Fp = pad2(state.F, p.Phi_boundary)
-        Up = pad2(state.U, p.T_boundary)
-        gF, gU, an = debug_maps(Fp, Up, p)
-        maps.update(grad_Phi=np.asarray(gF), grad_T=np.asarray(gU),
-                    aniso=np.asarray(an))
+        extra = {}
+    maps = available_maps(state, cfg, cfg.debug)
+    maps.update(extra)
     path = os.path.join(folder, f"maps_{index:04d}.bin")
     save_bin_maps(path, maps, p.nx, p.ny, p.dx, p.dy,
                   float(state.t), int(state.iter))
@@ -227,9 +221,10 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     last_notif = t_start
     fixed_dt = p.solver not in (SolverType.EXPLICIT_RK4_ADAPTIVE,)
 
-    # Fixed-dt state time is iter*dt in f32; compare against f64 targets with
-    # a half-step tolerance so rounding can't trigger a spurious extra step.
-    time_eps = p.dt * 0.5 if fixed_dt else 1e-16
+    # Fixed-dt t_now is iter*dt in host f64 (exact); the epsilon only needs
+    # to absorb f64 rounding of the event targets, NOT a half step (a dt/2
+    # tolerance would declare events reached early and duplicate snapshots).
+    time_eps = p.dt * 1e-9 if fixed_dt else 1e-16
 
     def _scalar(x):
         return float(np.asarray(x).reshape(-1)[0])
@@ -263,6 +258,9 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                     n = max(int(np.ceil((target - t_now) / max(float(state.tau), 1e-30))), 1)
                 n = int(min(max(n, 1), 2048))
                 state, stats, mask = adv_collect(state, n, target)
+                # one bulk transfer per chunk (the tunnel's round-trip is
+                # ~25 ms; per-leaf per-row fetches would dominate the run)
+                stats = jax.device_get(stats)
                 mask = np.asarray(mask)
                 ts = np.asarray(stats.t)
                 post = np.append(ts[1:], np.float32(state.t))

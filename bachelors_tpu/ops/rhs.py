@@ -125,6 +125,12 @@ def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1,
                 and supports_sharded(p, ny_local, n_states)
                 and _on_tpu_or_forced(p)):
             return "pallas_sharded"
+        if p.backend == "pallas":
+            raise ValueError(
+                "backend='pallas' requested but the sharded fused kernels "
+                f"do not support this topology/config (axis_x sharded or "
+                f"local shard {ny_local}x{p.nx} dtype={p.dtype} does not "
+                "tile); use backend='auto' to fall back to XLA")
         return "xla"
 
     if p.backend == "pallas":

@@ -32,14 +32,16 @@ def corrector_step(F, U, p: SimParams, topo: Topology, step_based: StepBased):
     max_iters = p.corrector_max_iters if p.do_corrector_loop else 0
     if max_iters == 0 and p.do_stats_step_residual:
         max_iters = 1  # `simulation.cu:960-961`
-    max_iters = min(max_iters, MAX_STEP_RESIDUALS)
 
     cur_F, cur_U, aux = step_based(F, U, U, same_base=True)
 
     residuals = []
     for _k in range(max_iters):
         nxt_F, nxt_U, _aux_k = step_based(F, cur_U, U, same_base=False)
-        if p.do_stats_step_residual:
+        # only the RECORDING is capped at MAX_STEP_RESIDUALS slots (the
+        # reference's stats arrays are fixed-size, `simulation.h:56`); the
+        # physics loop runs all corrector_max_iters iterations
+        if p.do_stats_step_residual and len(residuals) < MAX_STEP_RESIDUALS:
             residuals.append(stats_delta(cur_F, nxt_F, topo))
         cur_F, cur_U = nxt_F, nxt_U
 

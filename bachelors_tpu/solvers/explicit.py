@@ -152,7 +152,11 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         new_tau = (delta / eps) ** jnp.asarray(0.2, dtype) * 4 / 5 * tau
         new_tau = jnp.maximum(new_tau, min_dt)
         floor_hit = jnp.logical_and(new_tau <= min_dt, used <= min_dt)
-        return (i + 1, new_tau, used, nF, nU, converged, eps_F, eps_U,
+        # the reference's floor exit is a `break` BEFORE the for-loop
+        # increment (`simulation.cu:466-467`): the reported iteration count
+        # skips the +1 in that case
+        i_next = jnp.where(floor_hit, i, i + 1)
+        return (i_next, new_tau, used, nF, nU, converged, eps_F, eps_U,
                 jnp.logical_or(converged, floor_hit))
 
     def cond(carry):

@@ -114,3 +114,26 @@ def test_ensemble_rejects_adaptive(tmp_path, monkeypatch):
     open("c.ini", "w").write(text)
     with pytest.raises(ValueError, match="adaptive"):
         run_config_file("c.ini")
+
+
+def test_snapshot_events_within_half_step_not_duplicated(tmp_path, monkeypatch):
+    """Regression (review finding): event targets landing within (0, dt/2)
+    above a step boundary must still trigger a step, not produce duplicate
+    snapshots (the reference snapshots at the first iter with t >= target,
+    main.cpp:507)."""
+    monkeypatch.chdir(tmp_path)
+    # dt=5e-6, every=6e-6, stop=2.4e-5: targets 6e-6, 1.2e-5, 1.8e-5, end
+    text = (CONFIG_TEXT
+            .replace("stop_after = 0.00002", "stop_after = 0.000024")
+            .replace("every = 9999", "every = 0.000006")
+            .replace("times = 2", "times = 0")
+            .replace("collect_stats = true", "collect_stats = false"))
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    import glob
+    frames = sorted(glob.glob(os.path.join(res.save_folder, "maps_0*.bin")))
+    iters = [load_bin_maps(f).iter for f in frames if not f.endswith("0000.bin")]
+    # strictly increasing iteration stamps: no stale duplicates
+    assert iters == sorted(set(iters)), iters
+    # the 1.2e-5 target must have advanced past t=1.0e-5 (iter 2 -> 3)
+    assert 3 in iters
