@@ -193,8 +193,12 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     if events[-1] < stop:
         events.append(stop)
 
+    # bound each device dispatch: adaptive solvers may take millions of tiny
+    # steps (e.g. f32 with a tolerance below the noise floor), and a single
+    # unbounded while_loop dispatch can exceed runtime watchdogs
+    ADAPTIVE_CHUNK = 50_000
     adv_until = jax.jit(
-        lambda s, t_stop: advance_until(stepper, s, t_stop),
+        lambda s, t_stop, cap: advance_until(stepper, s, t_stop, cap),
         donate_argnums=0)
     adv_n = jax.jit(
         lambda s, n: advance_n(stepper, s, n),
@@ -212,6 +216,14 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 lambda st, ts: advance_collect(stepper, st, n, t_stop=ts),
                 donate_argnums=0)
         return jit_collect[n](s, t_stop)
+
+    if (p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE and p.dtype == "float32"
+            and min(p.Phi_tolerance, p.T_tolerance) < 1e-6):
+        log.warn(
+            f"adaptive tolerance {min(p.Phi_tolerance, p.T_tolerance):g} is "
+            "near/below the float32 truncation-noise floor: expect very "
+            "small step sizes (the reference runs float64); consider "
+            "[tpu] dtype = float64 or a tolerance >= 1e-6 for f32 runs")
 
     _mesh_stack = contextlib.ExitStack()
     _mesh_stack.enter_context(mesh_ctx)
@@ -249,7 +261,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                     n = int(np.ceil((target - t_now) / p.dt - 1e-9))
                     state = adv_n(state, max(n, 1))
                 else:
-                    state = adv_until(state, target)
+                    state = adv_until(state, target, ADAPTIVE_CHUNK)
             else:
                 # stats path: bounded scan chunks emitting per-step stats
                 if fixed_dt:

@@ -26,12 +26,16 @@ from ..parallel.topology import Topology
 from .base import Stepper, make_stepper
 
 
-def advance_until(stepper: Stepper, state: SimState, t_stop, max_steps: int = 1 << 30):
+def advance_until(stepper: Stepper, state: SimState, t_stop, max_steps=1 << 30):
     """Step until ``state.t >= t_stop`` (or max_steps).  Returns final state.
 
     The 1e-16 end-tolerance matches the driver loop (`main.cpp:518`).
+    ``max_steps`` may be traced; callers should bound it so a single
+    dispatch cannot run unboundedly long (adaptive solvers can take millions
+    of tiny steps when the tolerance sits below the dtype's noise floor).
     """
     t_stop = jnp.asarray(t_stop, state.t.dtype)
+    max_steps = jnp.asarray(max_steps, jnp.int64 if state.iter.dtype == jnp.int64 else jnp.int32)
     start_iter = state.iter
 
     def cond(s: SimState):
