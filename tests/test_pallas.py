@@ -465,3 +465,16 @@ def test_rk4_fused_gate_uses_full_capacity():
         _resolve_backend(p, Topology(), 4, ny_local=16)
     # while plain 2-state stages remain eligible
     assert _resolve_backend(p, Topology(), 2, ny_local=16) == "pallas"
+
+
+def test_kernel_mixed_boundary_conditions(rng):
+    """The fused kernel handles per-field BCs (independent halo index maps
+    and x fixups for Phi and T)."""
+    p = params(BoundaryType.NEUMANN, ny=64)
+    p = p.replace(Phi_boundary=BoundaryType.PERIODIC,
+                  T_boundary=BoundaryType.DIRICHLET)
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, interpret=True)
+    want = oracle([(F, U)], [1.0], p)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])

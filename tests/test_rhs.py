@@ -84,3 +84,22 @@ def test_f32_transcendentals_mode(rng):
     assert not np.array_equal(a, b)
     scale = np.abs(a).max()
     np.testing.assert_allclose(a, b, atol=5e-5 * scale)
+
+
+@pytest.mark.parametrize("f_bc,u_bc", [
+    (BoundaryType.PERIODIC, BoundaryType.NEUMANN),
+    (BoundaryType.NEUMANN, BoundaryType.DIRICHLET),
+    (BoundaryType.DIRICHLET, BoundaryType.PERIODIC),
+])
+def test_mixed_boundary_conditions(f_bc, u_bc, rng):
+    """Phi and T may carry different BCs (the reference samples each field
+    with its own boundary, `simulation.cu:186-197`)."""
+    p = SimParams(nx=12, ny=8, L0=4.0, dt=5e-6, S=0.25, m0=6.0, theta0=0.1,
+                  Phi_boundary=f_bc, T_boundary=u_bc, dtype="float64",
+                  f32_transcendentals=False, backend="xla")
+    F = rng.normal(size=(p.ny, p.nx))
+    U = rng.normal(size=(p.ny, p.nx))
+    dF, dU = eval_rhs([(F, U)], [1.0], p, Topology(), fu=0.05)
+    wF, wU = rhs_oracle(F, U, p, fu=0.05, f32_transcendentals=False)
+    np.testing.assert_allclose(np.asarray(dF), wF, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dU), wU, rtol=1e-12, atol=1e-9)
