@@ -58,8 +58,17 @@ def _initial_state(cfg: SimConfig) -> SimState:
             raise ValueError(
                 f"resume snapshot is {snap.nx}x{snap.ny}, config wants {p.nx}x{p.ny}")
         log.info(f"resuming from '{cfg.init_path}' at t={snap.time:g} iter={snap.iter}")
-        return make_state(snap.maps["F"], snap.maps["U"], p,
-                          t=snap.time, it=snap.iter)
+        state = make_state(snap.maps["F"], snap.maps["U"], p,
+                           t=snap.time, it=snap.iter)
+        if "tau" in snap.maps:
+            # restore the adaptive step size so a resumed RKM run continues
+            # the controller trajectory exactly (snapshots store tau as a
+            # constant map to stay .bin/plot.py-compatible)
+            import jax.numpy as jnp
+
+            state = state.replace(
+                tau=jnp.asarray(snap.maps["tau"][0, 0], state.tau.dtype))
+        return state
     F, U = make_initial_fields(p, cfg.initial)
     return make_state(F, U, p)
 
@@ -93,6 +102,13 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
         extra = {}
     maps = available_maps(state, cfg, cfg.debug)
     maps.update(extra)
+    if p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE:
+        # persist the adaptive step size (as a constant full map: the .bin
+        # header fixes all map shapes to nx*ny, `io/snapshot.py:35-52`) so
+        # resume continues the controller trajectory instead of re-seeding
+        # tau from dt
+        maps["tau"] = np.full(
+            (p.ny, p.nx), float(np.asarray(state.tau).reshape(-1)[0]))
     path = os.path.join(folder, f"maps_{index:04d}.bin")
     save_bin_maps(path, maps, p.nx, p.ny, p.dx, p.dy,
                   float(state.t), int(state.iter))
@@ -286,7 +302,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             if now - last_notif > 1:
                 last_notif = now
                 t_cur = _scalar(state.t)
-                log.info(f"... completed {t_cur / stop * 100:.2f}%")
+                log.info(f"... completed {min(t_cur / stop, 1.0) * 100:.2f}%")
 
         snapshots += 1
         if make_folder:
@@ -295,8 +311,11 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
 
     jax.block_until_ready(state.F)
     _mesh_stack.close()
-    state = state.replace(t=np.asarray(state.t).reshape(-1)[0],
-                          iter=np.asarray(state.iter).reshape(-1)[0])         if np.asarray(state.iter).ndim else state
+    if np.asarray(state.iter).ndim:
+        # ensemble run: t/iter are per-member arrays (identical across
+        # members for fixed dt); collapse to member 0 for the final report
+        state = state.replace(t=np.asarray(state.t).reshape(-1)[0],
+                              iter=np.asarray(state.iter).reshape(-1)[0])
     runtime = time.perf_counter() - t_start
     iters = int(state.iter)
     log.info("Finished!")

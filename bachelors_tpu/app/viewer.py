@@ -5,15 +5,19 @@ The analog of the reference's GLFW/OpenGL viewer (`gl.h`, interactive loop
 X11/ssh; degrades to frame dumps headless).  Same science colormap as the
 reference's fragment shader (`gl.h:221-283`) via postprocess.colormap.
 
-Key bindings mirror `glfw_key_func` (`main.cpp:585-677`):
-  space       pause / resume
-  enter       single-step (step_by steps)
-  d           toggle debug maps
-  l           toggle linear filtering
-  c           toggle corrector loop
-  s           on-demand snapshot
-  f1..f8      select rendered map (F, U, next_F, next_U, debug maps...)
-  up/down     adjust display range
+Key bindings mirror `glfw_key_func` (`main.cpp:585-677`) -- every reference
+binding is covered:
+  space       pause / resume                        (`main.cpp:596-600`)
+  enter       single-step (step_by steps)           (`main.cpp:594-595`)
+  d           toggle debug maps                     (`main.cpp:601-605`)
+  l           toggle linear filtering               (`main.cpp:606-610`)
+  c           toggle corrector loop                 (`main.cpp:611-615`)
+  s           on-demand snapshot                    (`main.cpp:616-620`)
+  r           display range entry 'MIN MAX' (stdin) (`main.cpp:621-641`)
+  p           speed multiplier entry 'NUM' (stdin)  (`main.cpp:643-657`)
+  f1..f8      select rendered map slot directly     (`main.cpp:659-666`)
+  f9 / f10    cycle rendered map backward / forward (`main.cpp:668-669`)
+  up/down     adjust display range (extra vs reference)
 """
 from __future__ import annotations
 
@@ -38,8 +42,78 @@ class ViewerState:
     remaining_steps: float = 0.0
     step_by: float = 1.0
     render_target: int = 0
+    map_count: int = 2
     want_snapshot: bool = False
     closed: bool = False
+
+
+def _read_line(prompt: str) -> str:
+    """Blocking stdin entry, the analog of the reference's scanf-based range
+    and speed prompts (`main.cpp:626,646`); separated out so tests can patch
+    it."""
+    log.info(prompt)
+    try:
+        return input()
+    except EOFError:  # pragma: no cover - headless stdin
+        return ""
+
+
+def handle_key(k: str, vs: ViewerState, cfg: SimConfig,
+               set_range=None, set_filtering=None, rebuild_stepper=None) -> None:
+    """Pure-ish key dispatch (testable without a GUI).  Mirrors the
+    reference's `glfw_key_func` case table (`main.cpp:585-677`)."""
+    k = (k or "").lower()
+    if k == " ":
+        vs.paused = not vs.paused
+        log.info(f"simulation {'paused' if vs.paused else 'running'}")
+    elif k == "enter":
+        vs.remaining_steps = vs.step_by
+    elif k == "d":
+        vs.debug = not vs.debug
+        log.info(f"debug {vs.debug}")
+    elif k == "c":
+        cfg.params = cfg.params.replace(
+            do_corrector_loop=not cfg.params.do_corrector_loop)
+        if rebuild_stepper is not None:
+            # params are static in the compiled stepper: rebuild it so the
+            # toggle actually takes effect (jit caches both variants)
+            rebuild_stepper()
+        log.info(f"corrector loop {cfg.params.do_corrector_loop}")
+    elif k == "s":
+        vs.want_snapshot = True
+    elif k == "l":
+        cfg.linear_filtering = not cfg.linear_filtering
+        if set_filtering is not None:
+            set_filtering(cfg.linear_filtering)
+        log.info(f"linear filtering {cfg.linear_filtering}")
+    elif k == "r":
+        # display-range entry, reference `main.cpp:621-641`
+        parts = _read_line("Input range to display in form 'MIN space MAX'").split()
+        try:
+            lo, hi = float(parts[0]), float(parts[1])
+        except (IndexError, ValueError):
+            log.info("Bad range syntax!")
+        else:
+            log.info(f"displaying range [{lo:.2f}, {hi:.2f}]")
+            cfg.display_min, cfg.display_max = lo, hi
+            if set_range is not None:
+                set_range(lo, hi)
+    elif k == "p":
+        # speed-multiplier entry, reference `main.cpp:643-657`
+        parts = _read_line("Input simulation speed modifier in form 'NUM'").split()
+        try:
+            vs.step_by = float(parts[0])
+        except (IndexError, ValueError):
+            log.info("Bad speed syntax!")
+        else:
+            log.info(f"using simulation speed {vs.step_by:.2f}")
+    elif k in ("f9", "f10"):
+        # cycle rendered map, reference `main.cpp:668-669`
+        step = 1 if k == "f10" else -1
+        vs.render_target = (vs.render_target + step) % max(vs.map_count, 1)
+        log.info(f"rendering map slot {vs.render_target}")
+    elif k.startswith("f") and k[1:].isdigit():
+        vs.render_target = int(k[1:]) - 1
 
 
 def available_maps(state: SimState, cfg: SimConfig, debug: bool) -> Dict[str, np.ndarray]:
@@ -97,35 +171,24 @@ def run_interactive(cfg: SimConfig) -> None:
                    interpolation="bilinear" if cfg.linear_filtering else "nearest")
     cb = fig.colorbar(im, ax=ax)
 
+    def set_range(lo, hi):
+        nonlocal vmin, vmax
+        vmin, vmax = lo, hi
+        im.set_clim(vmin, vmax)
+
     def on_key(event):
         k = (event.key or "").lower()
-        if k == " ":
-            vs.paused = not vs.paused
-            log.info(f"simulation {'paused' if vs.paused else 'running'}")
-        elif k == "enter":
-            vs.remaining_steps = vs.step_by
-        elif k == "d":
-            vs.debug = not vs.debug
-            log.info(f"debug {vs.debug}")
-        elif k == "c":
-            cfg.params = cfg.params.replace(
-                do_corrector_loop=not cfg.params.do_corrector_loop)
-            # params are static in the compiled stepper: rebuild it so the
-            # toggle actually takes effect (jit caches both variants)
-            stepper_box[0] = jax.jit(make_stepper(cfg.params))
-            log.info(f"corrector loop {cfg.params.do_corrector_loop}")
-        elif k == "s":
-            vs.want_snapshot = True
-        elif k == "l":
-            cfg.linear_filtering = not cfg.linear_filtering
-            im.set_interpolation("bilinear" if cfg.linear_filtering else "nearest")
-            log.info(f"linear filtering {cfg.linear_filtering}")
-        elif k and k.startswith("f") and k[1:].isdigit():
-            vs.render_target = int(k[1:]) - 1
-        elif k == "up":
+        if k == "up":
             nonlocal_range(+1)
         elif k == "down":
             nonlocal_range(-1)
+        else:
+            handle_key(
+                k, vs, cfg, set_range=set_range,
+                set_filtering=lambda lin: im.set_interpolation(
+                    "bilinear" if lin else "nearest"),
+                rebuild_stepper=lambda: stepper_box.__setitem__(
+                    0, jax.jit(make_stepper(cfg.params))))
 
     def nonlocal_range(direction):
         nonlocal vmin, vmax
@@ -157,6 +220,7 @@ def run_interactive(cfg: SimConfig) -> None:
             log.info("on-demand snapshot saved")
         maps = available_maps(state, cfg, vs.debug)
         names = list(maps)
+        vs.map_count = len(names)
         target = names[min(vs.render_target, len(names) - 1)]
         im.set_data(maps[target])
         ax.set_title(f"{target}  t={float(state.t):.4g}  iter={int(state.iter)}"

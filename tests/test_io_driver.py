@@ -296,3 +296,39 @@ def test_stats_csv_empty_first_flush_keeps_residual_columns(tmp_path):
     acc.save_csv(path, 16, 16, 5e-6)
     header = open(path).read().splitlines()[1]
     assert '"step_res_L1[1]"' in header
+
+
+def test_adaptive_resume_restores_tau(tmp_path, monkeypatch):
+    """RKM run interrupted + resumed == uninterrupted run, step-for-step.
+
+    Snapshots of adaptive runs persist the controller step size tau as a
+    constant map (VERDICT r1: without it a resumed run re-seeds tau from dt
+    and diverges from the uninterrupted trajectory)."""
+    monkeypatch.chdir(tmp_path)
+    base = (CONFIG_TEXT
+            .replace("solver = explicit", "solver = explicit-rk4-adaptive")
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[tpu]\ndtype = float64\n")
+    open("full.ini", "w").write(base)
+    res_full = run_config_file("full.ini")
+    full_final = load_bin_maps(os.path.join(res_full.save_folder, "maps_0001.bin"))
+    assert "tau" in full_final.maps
+
+    half1 = base.replace("stop_after = 0.00002", "stop_after = 0.00001")
+    open("half1.ini", "w").write(half1)
+    res1 = run_config_file("half1.ini")
+    mid = os.path.join(res1.save_folder, "maps_0001.bin")
+    mid_snap = load_bin_maps(mid)
+    # the controller has moved tau off the initial dt, so restoring it matters
+    assert mid_snap.maps["tau"][0, 0] != pytest.approx(5e-6, rel=1e-12)
+
+    half2 = base + f"\n[initial]\ninit_path = {mid}\n"
+    open("half2.ini", "w").write(half2)
+    res2 = run_config_file("half2.ini")
+    resumed_final = load_bin_maps(os.path.join(res2.save_folder, "maps_0001.bin"))
+
+    assert resumed_final.iter == full_final.iter
+    np.testing.assert_array_equal(resumed_final.maps["F"], full_final.maps["F"])
+    np.testing.assert_array_equal(resumed_final.maps["U"], full_final.maps["U"])
+    assert resumed_final.maps["tau"][0, 0] == full_final.maps["tau"][0, 0]
