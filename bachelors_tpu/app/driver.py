@@ -28,7 +28,8 @@ from ..core.state import SimState, make_state
 from ..models.initial import make_initial_fields
 from ..parallel.topology import Topology
 from ..solvers.base import make_stepper
-from ..solvers.run import advance_collect, advance_n, advance_until
+from ..solvers.run import (advance_collect, advance_n, advance_until,
+                           advance_until_members)
 from ..io.config import SimConfig, load_config
 from ..io.snapshot import load_bin_maps, make_save_folder, save_bin_maps
 from ..io.stats_io import StatsAccumulator
@@ -121,7 +122,12 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
         else:  # pragma: no cover
             log.warn("netcdf requested but scipy is unavailable; skipping")
     if acc is not None:
-        acc.save_csv(os.path.join(folder, "stats.csv"), p.nx, p.ny, p.dt)
+        accs = acc if isinstance(acc, list) else [acc]
+        for b, a in enumerate(accs):
+            # member 0 keeps the reference-compatible name; further ensemble
+            # members get per-member files
+            name = "stats.csv" if b == 0 else f"stats_m{b:03d}.csv"
+            a.save_csv(os.path.join(folder, name), p.nx, p.ny, p.dt)
     if save_config_once[0] == 0:
         with open(os.path.join(folder, "config.ini"), "w") as f:
             f.write(cfg.entire_config_text)
@@ -141,14 +147,17 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
 
         import jax.numpy as jnp
 
-        if p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE:
-            raise ValueError("[tpu] ensemble does not support the adaptive "
-                             "solver (per-member time steps diverge)")
         if cfg.init_path:
             raise ValueError("[tpu] ensemble cannot resume from init_path")
-        if cfg.collect_stats or cfg.collect_step_residual:
-            raise ValueError("[tpu] ensemble does not support the stats "
-                             "pipeline yet (per-member stats are batched)")
+        if (p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE
+                and (cfg.collect_stats or cfg.collect_step_residual)):
+            raise ValueError(
+                "[tpu] ensemble + adaptive solver + stats is not supported "
+                "(per-member step times diverge, so rows have no common "
+                "cadence); drop collect_stats or use a fixed-dt solver")
+        if cfg.batch_shards > 1 and ensemble % cfg.batch_shards:
+            raise ValueError(f"[tpu] ensemble={ensemble} must be divisible "
+                             f"by batch_shards={cfg.batch_shards}")
         members = []
         for b in range(ensemble):
             ic_b = _dc.replace(cfg.initial,
@@ -161,18 +170,25 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     # Multi-chip: [tpu] shards_y/shards_x shard the grid over a device mesh
     # with ICI halo exchange (see parallel/).
     mesh = None
-    if cfg.shards_y * cfg.shards_x > 1 and not topo.is_sharded:
+    if (cfg.shards_y * cfg.shards_x * cfg.batch_shards > 1
+            and not topo.is_sharded):
         from ..parallel.mesh import make_mesh, shard_state
-        from ..parallel.sharded import make_sharded_stepper
+        from ..parallel.sharded import (make_ensemble_stepper,
+                                        make_sharded_stepper)
 
+        batch = cfg.batch_shards if ensemble > 1 else 1
+        mesh, topo = make_mesh(shards_y=cfg.shards_y, shards_x=cfg.shards_x,
+                               batch=batch)
+        log.info(f"sharding over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+                 + (f" with ensemble of {ensemble}" if ensemble > 1 else ""))
         if ensemble > 1:
-            raise ValueError("[tpu] ensemble with spatial shards from the "
-                             "driver is not wired yet; use "
-                             "parallel.sharded.make_ensemble_stepper directly")
-        mesh, topo = make_mesh(shards_y=cfg.shards_y, shards_x=cfg.shards_x)
-        log.info(f"sharding grid over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-        stepper = make_sharded_stepper(p, mesh, topo)
-        state = shard_state(state, mesh, topo)
+            # dp x spatial: ensemble members split over the batch axis, each
+            # member's grid sharded over y/x
+            stepper = make_ensemble_stepper(p, mesh, topo)
+            state = shard_state(state, mesh, topo, batched=True)
+        else:
+            stepper = make_sharded_stepper(p, mesh, topo)
+            state = shard_state(state, mesh, topo)
     elif ensemble > 1:
         stepper = jax.vmap(make_stepper(p, topo))
     else:
@@ -187,7 +203,9 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         SYSTEM.set_file(os.path.join(folder, "log.txt"))
     _echo_config(cfg)
 
-    acc = StatsAccumulator() if cfg.collect_stats else None
+    accs = ([StatsAccumulator() for _ in range(ensemble)]
+            if cfg.collect_stats else [])
+    acc = accs[0] if accs else None
     save_config_once = [0]
     snapshots = 0
     if cfg.snapshot_initial_conditions and make_folder:
@@ -213,11 +231,19 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     # steps (e.g. f32 with a tolerance below the noise floor), and a single
     # unbounded while_loop dispatch can exceed runtime watchdogs
     ADAPTIVE_CHUNK = 50_000
+    _until = advance_until if ensemble == 1 else advance_until_members
     adv_until = jax.jit(
-        lambda s, t_stop, cap: advance_until(stepper, s, t_stop, cap),
+        lambda s, t_stop, cap: _until(stepper, s, t_stop, cap),
         donate_argnums=0)
+    # temporal-blocking fast path: two fused Euler steps per HBM pass when
+    # no stats sink is attached (see solvers/explicit.make_euler_pair_stepper)
+    pair = None
+    if ensemble == 1 and acc is None and not cfg.collect_step_residual:
+        from ..solvers.explicit import make_euler_pair_stepper
+
+        pair = make_euler_pair_stepper(p, topo)
     adv_n = jax.jit(
-        lambda s, n: advance_n(stepper, s, n),
+        lambda s, n: advance_n(stepper, s, n, pair_stepper=pair),
         donate_argnums=0)
 
     jit_collect = {}
@@ -264,7 +290,10 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             if fixed_dt:
                 t_now = int(np.asarray(state.iter).reshape(-1)[0]) * p.dt
             else:
-                t_now = float(state.t)
+                # ensembles: advance until the SLOWEST member reaches the
+                # target (members already past it are frozen by the masked
+                # runner)
+                t_now = float(np.asarray(state.t).min())
             if target - t_now < time_eps:
                 break
             if acc is None:
@@ -283,21 +312,33 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 if fixed_dt:
                     n = int(np.ceil((target - t_now) / p.dt - 1e-9))
                 else:
-                    n = max(int(np.ceil((target - t_now) / max(float(state.tau), 1e-30))), 1)
+                    tau_min = float(np.asarray(state.tau).reshape(-1).min())
+                    n = max(int(np.ceil((target - t_now) / max(tau_min, 1e-30))), 1)
                 n = int(min(max(n, 1), 2048))
                 state, stats, mask = adv_collect(state, n, target)
                 # one bulk transfer per chunk (the tunnel's round-trip is
                 # ~25 ms; per-leaf per-row fetches would dominate the run)
                 stats = jax.device_get(stats)
                 mask = np.asarray(mask)
-                ts = np.asarray(stats.t)
-                post = np.append(ts[1:], np.float32(state.t))
+                nrows = mask.shape[0]  # adv_collect rounds n up internally
+                mask = mask.reshape(nrows, -1)  # (n,) -> (n, 1|B)
+                ts = np.asarray(stats.t).reshape(nrows, -1)
+                t_end = np.full(ts.shape[1:], np.float32(np.asarray(state.t).reshape(-1)[0]))
+                post = np.concatenate([ts[1:], t_end[None]], axis=0)
                 for i in range(len(mask)):
-                    if not mask[i]:
+                    if not mask[i].any():
                         break
-                    if acc is not None and post[i] >= last_stats_save + cfg.collect_stats_every:
-                        acc.collect(jax.tree.map(lambda a, idx=i: a[idx], stats))
-                        last_stats_save = float(post[i])
+                    # fixed-dt ensembles share the cadence (identical member
+                    # times); collect the row into every member's accumulator
+                    if post[i, 0] >= last_stats_save + cfg.collect_stats_every:
+                        row = jax.tree.map(lambda a, idx=i: a[idx], stats)
+                        if ensemble > 1:
+                            for b, a_b in enumerate(accs):
+                                a_b.collect(jax.tree.map(
+                                    lambda a, bb=b: a[bb], row))
+                        else:
+                            acc.collect(row)
+                        last_stats_save = float(post[i, 0])
             now = time.perf_counter()
             if now - last_notif > 1:
                 last_notif = now
@@ -307,7 +348,8 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         snapshots += 1
         if make_folder:
             log.info(f"saving snapshot {snapshots}")
-            _save_snapshot(folder, snapshots, state, cfg, acc, save_config_once)
+            _save_snapshot(folder, snapshots, state, cfg,
+                           accs if ensemble > 1 else acc, save_config_once)
 
     jax.block_until_ready(state.F)
     _mesh_stack.close()

@@ -2,10 +2,19 @@
 
 The analog of the reference's reduction benchmark sweep
 (`simulation.cu:1300-1358`): f32 max-reduce bandwidth over a size sweep,
-comparing plain max against the fused {sum,L1,L2,min,max} stats pass,
+cross-racing three implementations the way the reference races CPU vs
+thrust vs its custom tree:
+  * plain ``jnp.max`` (XLA reduction emitter),
+  * the production fused {sum,L1,L2,min,max} stats pass (XLA,
+    `ops/reductions.field_stats`),
+  * the independent hand-written Pallas rival
+    (`ops/pallas_stats.pallas_field_stats`),
 reported in GB/s (the reference's custom tree peaks at 68 GB/s on consumer
-hardware, `plot.py:731-733`; on TPU both lower through XLA's reduction
-emitter).
+hardware, `plot.py:731-733`).
+
+``python -m bachelors_tpu.bench.microbench [fig.png]`` runs the sweep and
+regenerates the bandwidth figure from live results
+(`postprocess.plots.plot_reduction_bandwidth`).
 
 Timing: the tunnel device's dispatch latency dwarfs the kernels, so each
 measurement chains many reductions inside one device-side fori_loop and
@@ -83,12 +92,34 @@ def run_reduction_benchmark(n_max: int = 2 * 4096 * 4096) -> list:
 
         t_max = _loop_time(lambda a: jnp.max(a), x, iters)
         t_stats = _loop_time(lambda a: field_stats(a, topo).L2, x, iters)
+        from ..ops.pallas_stats import pallas_field_stats
+
+        t_rival = _loop_time(lambda a: pallas_field_stats(a).L2, x, iters)
 
         bytes_ = n * 4
         r = dict(n=n,
                  max_gbps=bytes_ / t_max / 1e9,
-                 fused_stats_gbps=bytes_ / t_stats / 1e9)
+                 fused_stats_gbps=bytes_ / t_stats / 1e9,
+                 pallas_stats_gbps=bytes_ / t_rival / 1e9)
         results.append(r)
         log.info(f"reduce n={n}: max {r['max_gbps']:.1f} GB/s, "
-                 f"fused stats {r['fused_stats_gbps']:.1f} GB/s")
+                 f"fused stats {r['fused_stats_gbps']:.1f} GB/s, "
+                 f"pallas rival {r['pallas_stats_gbps']:.1f} GB/s")
     return results
+
+
+def main(argv=None):
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    results = run_reduction_benchmark()
+    if argv:
+        from ..postprocess.plots import plot_reduction_bandwidth
+
+        plot_reduction_bandwidth(results, save=argv[0])
+        log.info(f"bandwidth figure written to {argv[0]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

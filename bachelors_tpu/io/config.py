@@ -179,6 +179,7 @@ class SimConfig:
     shards_y: int = 1
     shards_x: int = 1
     ensemble: int = 1
+    batch_shards: int = 1  # devices along the ensemble (batch) mesh axis
 
 
 def load_config(path: str, overrides: Optional[List[str]] = None) -> SimConfig:
@@ -275,6 +276,7 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         shards_y=b.get_int("tpu", "shards_y", 1, required=False),
         shards_x=b.get_int("tpu", "shards_x", 1, required=False),
         ensemble=b.get_int("tpu", "ensemble", 1, required=False),
+        batch_shards=b.get_int("tpu", "batch_shards", 1, required=False),
     )
 
     # scale multiplier (`config.h:481-490`): scales the mesh and the domain

@@ -146,20 +146,35 @@ def debug_maps(Fp: jnp.ndarray, Up: jnp.ndarray, p: SimParams):
 
 
 def semi_implicit_prepare(Fp: jnp.ndarray, Up: jnp.ndarray, p: SimParams):
-    """Build the semi-implicit phase system: RHS b_F and anisotropy map.
+    """Build the semi-implicit phase system in DELTA form: residual r0 and
+    anisotropy map.
 
-    Mirrors the prepare kernels `simulation.cu:798-871`.  The implicit phase
-    operator is A_F = I + gamma*k1*s * (-dt*lap) applied by
-    ``ops.stencil.anisotropy_matvec``; this function returns
-    (b_F, aniso_factor) with
+    Mirrors the prepare kernels `simulation.cu:798-871`, but instead of the
+    reference's right-hand side b_F it returns the warm-start residual
+
+        r0_F = b_F - A_F @ Phi
+
+    computed analytically, so the O(1) field terms cancel symbolically
+    rather than numerically.  CG then solves A_F e = r0_F with a zero
+    initial guess and the step is next_F = Phi + e -- algebraically
+    identical to the reference's warm-started solve of A_F next_F = b_F
+    (`simulation.cu:881-890`), but every CG iterate lives at the O(dt)
+    delta scale, which keeps the recursive residual meaningful in float32
+    down to the reference's 5e-9 tolerance (in f32 the b_F form floors at
+    ~1e-7 absolute and can never exit the iteration caps).
+
+    With A_F = I - dt*s*lap (``ops.stencil.anisotropy_matvec``):
 
       corrector-guess variant (`simulation.cu:806-833`):
         corr  = 1 + k2*dt*L
-        b_F   = Phi + dt/corr * ((1-gamma)*k1*lap(Phi) + k0 - k2*(T - Tm + dt*lap(T)))
+        r0_F  = dt/corr * (k1*lap(Phi) + k0 - k2*(T - Tm + dt*lap(T)))
         s     = gamma/corr * k1
       plain variant (`simulation.cu:838-869`):
-        b_F   = Phi + dt * ((1-gamma)*k1*lap(Phi) + k0 - k2*(T - Tm))
+        r0_F  = dt * (k1*lap(Phi) + k0 - k2*(T - Tm))
         s     = gamma * k1
+
+    (the (1-gamma)*k1*lap term of b_F and the +dt*s*lap term of -A_F@Phi
+    merge into the full k1*lap term.)
     """
     dx, dy = p.dx, p.dy
     inv_2dx, inv_2dy = 1.0 / (2 * dx), 1.0 / (2 * dy)
@@ -192,9 +207,9 @@ def semi_implicit_prepare(Fp: jnp.ndarray, Up: jnp.ndarray, p: SimParams):
         S_U = Up[:-2, 1:-1]
         lap_U = (W_U - 2 * C_U + E_U) * inv_dx2 + (S_U - 2 * C_U + N_U) * inv_dy2
         corr = 1 + k2 * p.dt * p.L
-        b_F = C_F + p.dt / corr * ((1 - p.gamma) * k1 * lap_F + k0 - k2 * (C_U - p.Tm + p.dt * lap_U))
+        r0_F = p.dt / corr * (k1 * lap_F + k0 - k2 * (C_U - p.Tm + p.dt * lap_U))
         s = p.gamma / corr * k1
     else:
-        b_F = C_F + p.dt * ((1 - p.gamma) * k1 * lap_F + k0 - k2 * (C_U - p.Tm))
+        r0_F = p.dt * (k1 * lap_F + k0 - k2 * (C_U - p.Tm))
         s = p.gamma * k1
-    return b_F, s
+    return r0_F, s

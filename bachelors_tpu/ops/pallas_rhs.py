@@ -38,11 +38,15 @@ from ..core.params import BoundaryType, SimParams
 
 # VMEM working-set budget for choosing the row-tile height (bytes).
 _VMEM_BUDGET = 10 * 1024 * 1024
+# the 2-step Euler kernel runs with an explicitly raised scoped-VMEM limit
+_EULER2_BUDGET = 80 * 1024 * 1024
 
 
-def _tile_y(ny: int, nx: int, n_states: int, itemsize: int) -> int:
+def _tile_y(ny: int, nx: int, n_states: int, itemsize: int,
+            budget: int = 0) -> int:
     """Largest row-tile (multiple of 8, divides ny) whose pipelined working
     set fits the VMEM budget."""
+    budget = budget or _VMEM_BUDGET
     for ty in (512, 256, 128, 64, 32, 16, 8):
         if ny % ty != 0:
             continue
@@ -50,7 +54,7 @@ def _tile_y(ny: int, nx: int, n_states: int, itemsize: int) -> int:
         # buffered by the pipeline; shifted temporaries add ~4 block copies.
         working = (2 * n_states * (ty + 2) + 2 * ty) * nx * itemsize * 2
         working += 4 * ty * nx * itemsize
-        if working <= _VMEM_BUDGET:
+        if working <= budget:
             return ty
     return 0
 
@@ -180,8 +184,10 @@ def _pick_halo_rows_ghost(north_grp, south_grp, ghost_lo, ghost_hi):
 _MODES = ("rhs", "euler", "rk4_combine", "rkm_final")
 
 
-def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
-                 ghost: bool = False):
+def _make_physics(p: SimParams):
+    """The PDE right-hand side on already-shifted neighbor arrays
+    (`simulation.cu:208-240`); shared by every kernel mode and the fused
+    2-step Euler."""
     dx, dy = p.dx, p.dy
     inv_2dx = 1.0 / (2 * dx)
     inv_2dy = 1.0 / (2 * dy)
@@ -191,8 +197,54 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
     k2_factor = p.b * p.beta / p.alpha
     k1_factor = 1.0 / p.alpha
     dt_L = p.dt * p.L
+
+    def phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu):
+        lap_F = (F_W - 2 * Fc + F_E) * inv_dx2 + (F_S - 2 * Fc + F_N) * inv_dy2
+        lap_U = (U_W - 2 * Uc + U_E) * inv_dx2 + (U_S - 2 * Uc + U_N) * inv_dy2
+
+        gx = (F_E - F_W) * inv_2dx
+        gy = (F_N - F_S) * inv_2dy
+        grad_norm = jnp.sqrt(gx * gx + gy * gy)
+        k2 = grad_norm * k2_factor
+
+        if p.S == 0.0:
+            # isotropic fast path (the benchmark configs): g == 1
+            k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
+            k1_lap_F = lap_F * k1_factor
+        else:
+            # Mosaic has no atan2; for integer anisotropy frequency m0 the
+            # term cos(m0*atan2(gy,gx) + theta0) is computed exactly via the
+            # angle-addition recurrence on (cos t, sin t) = (gx, gy)/|grad|:
+            #   cos((k+1)t) = cos(kt) c - sin(kt) s, sin((k+1)t) = sin(kt) c + cos(kt) s
+            # (atan2(0,0) == 0 in the reference -> (c, s) = (1, 0) there).
+            safe = grad_norm > 0
+            inv_r = jnp.where(safe, 1.0 / jnp.where(safe, grad_norm, 1.0), 0.0)
+            c = jnp.where(safe, gx * inv_r, 1.0)
+            s = jnp.where(safe, gy * inv_r, 0.0)
+            ck, sk = c, s
+            for _ in range(int(p.m0) - 1):
+                ck, sk = ck * c - sk * s, sk * c + ck * s
+            cos_m = ck * math.cos(p.theta0) - sk * math.sin(p.theta0)
+            g_theta = 1 - p.S * cos_m
+            k0 = g_theta * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
+            k1_lap_F = g_theta * lap_F * k1_factor
+
+        if p.do_corrector_guess:
+            corr = 1 + k2 * dt_L
+            dt_F = (k1_lap_F + k0 - k2 * (Uc - p.Tm + p.dt * lap_U)) / corr
+        else:
+            dt_F = k1_lap_F + k0 - k2 * (Uc - p.Tm)
+        dt_U = lap_U + p.L * dt_F + fu
+        return dt_F, dt_U
+
+    return phys
+
+
+def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
+                 ghost: bool = False):
     f_bc = p.Phi_boundary
     u_bc = p.T_boundary
+    phys = _make_physics(p)
 
     def kernel(*refs):
         # refs: scalars_ref, per-state (Fc, Fn, Fs, Uc, Un, Us),
@@ -251,42 +303,7 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
         F_E, F_W = _shift_x(Fc, f_bc, d_eff)
         U_E, U_W = _shift_x(Uc, u_bc, d_eff)
 
-        lap_F = (F_W - 2 * Fc + F_E) * inv_dx2 + (F_S - 2 * Fc + F_N) * inv_dy2
-        lap_U = (U_W - 2 * Uc + U_E) * inv_dx2 + (U_S - 2 * Uc + U_N) * inv_dy2
-
-        gx = (F_E - F_W) * inv_2dx
-        gy = (F_N - F_S) * inv_2dy
-        grad_norm = jnp.sqrt(gx * gx + gy * gy)
-        k2 = grad_norm * k2_factor
-
-        if p.S == 0.0:
-            # isotropic fast path (the benchmark configs): g == 1
-            k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
-            k1_lap_F = lap_F * k1_factor
-        else:
-            # Mosaic has no atan2; for integer anisotropy frequency m0 the
-            # term cos(m0*atan2(gy,gx) + theta0) is computed exactly via the
-            # angle-addition recurrence on (cos t, sin t) = (gx, gy)/|grad|:
-            #   cos((k+1)t) = cos(kt) c - sin(kt) s, sin((k+1)t) = sin(kt) c + cos(kt) s
-            # (atan2(0,0) == 0 in the reference -> (c, s) = (1, 0) there).
-            safe = grad_norm > 0
-            inv_r = jnp.where(safe, 1.0 / jnp.where(safe, grad_norm, 1.0), 0.0)
-            c = jnp.where(safe, gx * inv_r, 1.0)
-            s = jnp.where(safe, gy * inv_r, 0.0)
-            ck, sk = c, s
-            for _ in range(int(p.m0) - 1):
-                ck, sk = ck * c - sk * s, sk * c + ck * s
-            cos_m = ck * math.cos(p.theta0) - sk * math.sin(p.theta0)
-            g_theta = 1 - p.S * cos_m
-            k0 = g_theta * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
-            k1_lap_F = g_theta * lap_F * k1_factor
-
-        if p.do_corrector_guess:
-            corr = 1 + k2 * dt_L
-            dt_F = (k1_lap_F + k0 - k2 * (Uc - p.Tm + p.dt * lap_U)) / corr
-        else:
-            dt_F = k1_lap_F + k0 - k2 * (Uc - p.Tm)
-        dt_U = lap_U + p.L * dt_F + fu
+        dt_F, dt_U = phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu)
 
         if mode == "rhs":
             out_F[:] = dt_F
@@ -575,6 +592,130 @@ def supports_sharded(p: SimParams, ny_local: int, n_states: int = 4) -> bool:
     if p.S != 0.0 and not (float(p.m0).is_integer() and p.m0 >= 1):
         return False
     return _tile_y(ny_local, p.nx, n_states, 4) >= 8
+
+
+def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):
+    """Fused T consecutive Euler steps per HBM pass (temporal blocking).
+
+    The (8, nx) halo row-groups already carry enough depth for a radius-T
+    dependency (T <= 7), so the same inputs as the single-step kernel
+    suffice:
+
+      1. build ext = [south_group; center; north_group] (ty+16 rows);
+      2. clamp-BC ghost fix: at the first/last program overwrite the whole
+         8-row ghost region with the BC image of the adjacent real row
+         (clamp semantics: every ghost depth maps to the edge row,
+         `simulation.cu:74-79`; Dirichlet mirrors through it);
+      3. Euler-update ALL ext rows via plain rolls (rows whose neighbors
+         are wrong lie one deeper than any row a later step reads);
+      4. re-apply the ghost fix to each intermediate field (the ghost of
+         the *updated* field, exactly what the next plain step would pad);
+      5. after T sweeps write out rows 8..ty+7 (sublane-aligned slice).
+
+    Per-update HBM traffic drops T-fold: T steps move 2 reads + 2 writes
+    instead of 2T + 2T.  Identical to T single fused steps in exact
+    arithmetic (same neighbor values, same formulas); in floats the two
+    graphs may contract FMAs differently, so equivalence holds to
+    f32-rounding tolerance (tests/test_pallas.py).
+    """
+    assert 2 <= T <= 7
+    f_bc = p.Phi_boundary
+    u_bc = p.T_boundary
+    phys = _make_physics(p)
+
+    def kernel(scal, Fc, Fn, Fs, Uc, Un, Us, out_F, out_U):
+        d_eff = scal[0, 1]
+        fu = scal[0, 2]
+        extF = jnp.concatenate([Fs[:], Fc[:], Fn[:]], axis=0)
+        extU = jnp.concatenate([Us[:], Uc[:], Un[:]], axis=0)
+        tye = extF.shape[0]  # ty + 16
+
+        def fix(ext, bc):
+            # splice the true ghost rows at the global edges (the clamped
+            # halo maps land on in-range rows there)
+            if bc == BoundaryType.PERIODIC:
+                return ext  # wrap maps already carry the true rows
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, dimension=0)
+            lo = ext[8:9]
+            hi = ext[tye - 9:tye - 8]
+            if bc == BoundaryType.DIRICHLET:
+                lo = 2 * d_eff - lo
+                hi = 2 * d_eff - hi
+            ext = jnp.where(jnp.logical_and(rows < 8, i == 0), lo, ext)
+            ext = jnp.where(jnp.logical_and(rows >= tye - 8, i == n - 1),
+                            hi, ext)
+            return ext
+
+        def euler_ext(eF, eU):
+            F_N = _roll(eF, -1, 0)
+            F_S = _roll(eF, 1, 0)
+            U_N = _roll(eU, -1, 0)
+            U_S = _roll(eU, 1, 0)
+            F_E, F_W = _shift_x(eF, f_bc, d_eff)
+            U_E, U_W = _shift_x(eU, u_bc, d_eff)
+            dt_F, dt_U = phys(eF, F_N, F_S, F_E, F_W, eU, U_N, U_S, U_E, U_W, fu)
+            return eF + p.dt * dt_F, eU + p.dt * dt_U
+
+        sF, sU = extF, extU
+        for step_idx in range(T):
+            sF = fix(sF, f_bc)
+            sU = fix(sU, u_bc)
+            sF, sU = euler_ext(sF, sU)
+            if interpret and step_idx < T - 1:
+                # replicate the single-step kernel's HBM store: round the
+                # intermediate to exactly float32 (the CPU interpreter may
+                # carry excess precision; real TPU f32 VPU ops have none,
+                # and Mosaic does not lower reduce_precision)
+                sF = jax.lax.reduce_precision(sF, 8, 23)
+                sU = jax.lax.reduce_precision(sU, 8, 23)
+        ty = out_F.shape[0]
+        out_F[:] = sF[8:8 + ty]
+        out_U[:] = sU[8:8 + ty]
+
+    return kernel
+
+
+def supports_euler2(p: SimParams) -> bool:
+    """Whether the fused multi-step Euler kernel handles this config."""
+    # the T-fold sweep over (ty+16)-row extended blocks sizes like ~3 states
+    return supports(p, n_states=3)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret", "T"))
+def euler2_pallas(F, U, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                  interpret: bool = False, T: int = 2):
+    """T fused Euler steps (default 2); ``fu`` must be step-invariant (the
+    driver gates this path off for the time-dependent exact-solution
+    forcing)."""
+    ny, nx = p.ny, p.nx
+    # larger row-tiles cut the halo-group read amplification (16/ty) and
+    # per-program scheduling overhead; the raised vmem_limit_bytes below
+    # lifts Mosaic's default 16 MB scoped-VMEM cap
+    ty = min(_tile_y(ny, nx, 3, 4, budget=_EULER2_BUDGET), 256)
+    grid = ny // ty
+    w = _scalar_row([1.0], 1, dirichlet_value, fu, 0.0)
+    in_specs, out_specs = _specs(p, ty, 1)
+    kernel = _make_euler2_kernel(p, interpret, T)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    flops_per_cell = T * (40 + (60 if p.S != 0.0 else 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[shape, shape],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * p.N,
+            bytes_accessed=4 * p.N * 4,
+            transcendentals=(T * 2 * p.N if p.S != 0.0 else T * p.N),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w, F, F, F, U, U, U)
+    return out[0], out[1]
 
 
 def rk4_final_stage_pallas(x, k1, k2, k3, p: SimParams, fu=0.0,

@@ -138,8 +138,9 @@ def plot_reduction_bandwidth(results: Sequence[dict], save: Optional[str] = None
     plt = _plt()
     fig, ax = plt.subplots(figsize=(7, 4.5))
     ns = [r["n"] for r in results]
-    for key in ("max_gbps", "fused_stats_gbps"):
-        ax.plot(ns, [r[key] for r in results], "o-", label=key)
+    for key in ("max_gbps", "fused_stats_gbps", "pallas_stats_gbps"):
+        if key in results[0]:
+            ax.plot(ns, [r[key] for r in results], "o-", label=key)
     ax.set_xscale("log")
     ax.set_xlabel("N (elements)")
     ax.set_ylabel("GB/s")

@@ -45,13 +45,29 @@ def cg_solve(
     epsilon: float = 1.0e-10,
     topo: Topology = Topology(),
     matvec_pAp: Optional[Callable] = None,
+    diag: Optional[jnp.ndarray] = None,
 ):
     """Solve A x = b.  Returns (x, CGResult).
 
     ``matvec_pAp``, when given, is a fused kernel returning
     (A p, <p, A p>) in one memory pass (see ops/pallas_cg.py); the x/r
     update then also uses the fused variant emitting <r', r'>.
+
+    ``diag``, when given, enables Jacobi (diagonal) preconditioning with
+    M = diag(diag): search directions use z = r / diag and the alpha/beta
+    ratios use <r, z>, while the stopping test stays on <r, r> (the
+    reference's convergence semantics, `simulation.cu:608,656`).  Useful
+    when the operator diagonal varies per cell (the anisotropic phase
+    system, `ops/stencil.AnisotropyMatrix`); a constant diag reproduces
+    plain CG exactly.  Mutually exclusive with ``matvec_pAp`` (the fused
+    kernels are wired for the unpreconditioned recurrence).
     """
+    if diag is not None:
+        if matvec_pAp is not None:
+            raise ValueError("diag preconditioning and fused matvec_pAp "
+                             "are mutually exclusive")
+        return _pcg_solve(matvec, b, x0, diag=diag, tolerance=tolerance,
+                          max_iters=max_iters, epsilon=epsilon, topo=topo)
     dtype = b.dtype
     N = topo.count(b).astype(dtype)
     scaled_tol2 = jnp.asarray(tolerance, dtype) ** 2 * N
@@ -105,6 +121,61 @@ def cg_solve(
         converged=it != max_iters,
     )
     return x, res
+
+
+def _pcg_solve(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    diag: jnp.ndarray,
+    tolerance: float = 1.0e-5,
+    max_iters: int = 10,
+    epsilon: float = 1.0e-10,
+    topo: Topology = Topology(),
+):
+    """Jacobi-preconditioned CG (see ``cg_solve``'s ``diag`` argument)."""
+    dtype = b.dtype
+    N = topo.count(b).astype(dtype)
+    scaled_tol2 = jnp.asarray(tolerance, dtype) ** 2 * N
+    eps = jnp.asarray(epsilon, dtype)
+    inv_d = 1.0 / diag
+
+    if x0 is not None:
+        x = x0
+        r = b - matvec(x0)
+    else:
+        x = jnp.zeros_like(b)
+        r = b
+    z = r * inv_d
+    p = z
+    rr = topo.dot(r, r)
+    rz = topo.dot(r, z)
+
+    def cond(carry):
+        x, r, p, rr, rz, it, stop = carry
+        return jnp.logical_and(jnp.logical_not(stop), it < max_iters)
+
+    def body(carry):
+        x, r, p, rr, rz, it, stop = carry
+        Ap = matvec(p)
+        pAp = topo.dot(p, Ap)
+        alpha = rz / jnp.maximum(pAp, eps)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rr_new = topo.dot(r, r)
+        done = rr_new < scaled_tol2
+        z = r * inv_d
+        rz_new = topo.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p_next = jnp.where(done, p, z + beta * p)
+        it_next = jnp.where(done, it, it + 1)
+        return (x, r, p_next, rr_new, rz_new, it_next, done)
+
+    init = (x, r, p, rr, rz, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    x, r, p, rr, rz, it, stop = lax.while_loop(cond, body, init)
+    return x, CGResult(error=jnp.sqrt(rr / N), iters=it,
+                       converged=it != max_iters)
 
 
 def cg_solve_diff(

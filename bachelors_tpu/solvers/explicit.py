@@ -30,6 +30,59 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
     return F + p.dt * dF, U_base + p.dt * dU
 
 
+EULER_BLOCK_STEPS = 4  # fused steps per HBM pass; measured optimum on TPU
+
+
+def make_euler_pair_stepper(p: SimParams, topo: Topology):
+    """state -> (state advanced by EULER_BLOCK_STEPS Euler steps in ONE
+    fused HBM pass; temporal blocking), or ``None`` when inapplicable.
+    The paired function exposes ``.block_steps`` for the loop math.
+
+    Bit-identical to two single steps (tests/test_pallas.py); used by
+    ``solvers.run.advance_n`` and the driver's no-stats fast path.  Gated
+    off for: non-Euler solvers, exact-solution forcing (fu is
+    time-dependent), stats/step-residual collection (pairs emit none), the
+    corrector loop, sharded topologies (the ghost-row variant would need
+    2-deep halos), and configs the fused kernel does not tile.
+    """
+    from ..core.params import SolverType
+
+    if p.solver != SolverType.EXPLICIT_EULER:
+        return None
+    if p.do_exact or p.do_stats or p.do_stats_step_residual:
+        return None
+    if p.do_corrector_loop and p.corrector_max_iters > 0:
+        return None
+    if topo.is_sharded:
+        return None
+    from ..ops.rhs import _resolve_backend
+    from ..ops.pallas_rhs import euler2_pallas, supports_euler2
+
+    try:
+        if _resolve_backend(p, topo, 1, ny_local=p.ny) != "pallas":
+            return None
+    except ValueError:
+        return None
+    if not supports_euler2(p):
+        return None
+    if 2 * 1024 * 1024 < p.N < 10 * 1024 * 1024:
+        # measured crossover window (~2048^2): the whole working set fits
+        # the on-chip cache there, so Euler is VPU-bound and temporal
+        # blocking only adds halo recompute (single 0.069 vs pair 0.082
+        # ms/step); above it the pair path wins ~2x (RESULTS.md)
+        return None
+
+    T = EULER_BLOCK_STEPS
+
+    def pair(state):
+        F2, U2 = euler2_pallas(state.F, state.U, p, T=T)
+        t_next = (state.iter.astype(state.t.dtype) + T) * jnp.asarray(p.dt, state.t.dtype)
+        return state.replace(F=F2, U=U2, t=t_next, iter=state.iter + T)
+
+    pair.block_steps = T
+    return pair
+
+
 def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     """Classic fixed-step RK4 (`simulation.cu:313-348`).
 

@@ -49,7 +49,38 @@ def advance_until(stepper: Stepper, state: SimState, t_stop, max_steps=1 << 30):
     return lax.while_loop(cond, body, state)
 
 
-def advance_n(stepper: Stepper, state: SimState, n_steps) -> SimState:
+def advance_until_members(stepper: Stepper, state: SimState, t_stop,
+                          max_steps=1 << 30):
+    """Ensemble variant of ``advance_until``: step until EVERY member's time
+    reaches ``t_stop``.
+
+    Members that already crossed are frozen (masked no-op), preserving the
+    per-member "first step whose time reaches the target" semantics even
+    though adaptive members take different step counts.
+    """
+    t_stop = jnp.asarray(t_stop, state.t.dtype)
+    max_steps = jnp.asarray(max_steps, jnp.int64 if state.iter.dtype == jnp.int64 else jnp.int32)
+    start_iter = state.iter
+
+    def cond(s: SimState):
+        return jnp.logical_and(jnp.any(t_stop - s.t >= 1e-16),
+                               jnp.all(s.iter - start_iter < max_steps))
+
+    def body(s: SimState):
+        s2, _stats = stepper(s)
+        live = t_stop - s.t >= 1e-16  # (B,)
+
+        def sel(a, b):
+            m = live.reshape(live.shape + (1,) * (a.ndim - live.ndim))
+            return jnp.where(m, a, b)
+
+        return jax.tree.map(sel, s2, s)
+
+    return lax.while_loop(cond, body, state)
+
+
+def advance_n(stepper: Stepper, state: SimState, n_steps,
+              pair_stepper=None) -> SimState:
     """Run exactly n_steps (host-determined) with a device-side loop.
 
     The fixed-dt fast path: the step count for a time interval is exact in
@@ -59,13 +90,22 @@ def advance_n(stepper: Stepper, state: SimState, n_steps) -> SimState:
     static trip count XLA fully unrolls the loop (minutes of compile time
     for thousand-step chunks) and every distinct chunk size recompiles; a
     dynamic bound keeps one rolled while-loop for all chunk sizes.
+
+    ``pair_stepper`` (see ``solvers.explicit.make_euler_pair_stepper``)
+    advances ``pair_stepper.block_steps`` (default 2) steps per fused HBM
+    pass; n//T blocks + n%T singles land on exactly n steps.
     """
 
     def body(_i, s):
         s2, _stats = stepper(s)
         return s2
 
-    return lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, state)
+    n = jnp.asarray(n_steps, jnp.int32)
+    if pair_stepper is not None:
+        T = getattr(pair_stepper, "block_steps", 2)
+        state = lax.fori_loop(0, n // T, lambda _i, s: pair_stepper(s), state)
+        return lax.fori_loop(0, n % T, body, state)
+    return lax.fori_loop(0, n, body, state)
 
 
 def advance_collect(stepper: Stepper, state: SimState, n_steps: int,
@@ -86,8 +126,13 @@ def advance_collect(stepper: Stepper, state: SimState, n_steps: int,
         s2, stats = stepper(s)
         if t_stop_v is None:
             return s2, (stats, jnp.ones((), bool))
-        live = t_stop_v - s.t >= 1e-16
-        s3 = jax.tree.map(lambda a, b: jnp.where(live, a, b), s2, s)
+        live = t_stop_v - s.t >= 1e-16  # scalar, or (B,) for ensembles
+
+        def sel(a, b):
+            m = live.reshape(live.shape + (1,) * (a.ndim - live.ndim))
+            return jnp.where(m, a, b)
+
+        s3 = jax.tree.map(sel, s2, s)
         return s3, (stats, live)
 
     final, (stats, mask) = lax.scan(body, state, None, length=n_steps)

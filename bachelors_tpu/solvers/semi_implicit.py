@@ -1,16 +1,30 @@
 """Semi-implicit stepper: gamma-blended implicit scheme with matrix-free CG.
 
-Mirrors `simulation.cu:732-926`:
+Mirrors `simulation.cu:732-926`, reformulated in DELTA form (see
+``models.allen_cahn.semi_implicit_prepare``):
   1. prepare: fused stencil computing the per-cell anisotropy factor map and
-     the phase RHS b_F (`simulation.cu:798-871`);
-  2. CG-solve the implicit phase system A_F * next_F = b_F, warm-started
-     from F (`simulation.cu:881-890`);
-  3. build b_U = U_base + L*(next_F - F) + dt*(1-gamma)*U_base
-     (`simulation.cu:893-899`; note the reference's last term scales T
+     the warm-start residual r0_F = b_F - A_F @ Phi analytically
+     (`simulation.cu:798-871`);
+  2. CG-solve A_F e_F = r0_F from a zero guess; next_F = Phi + e_F --
+     algebraically identical to the reference's warm-started solve
+     (`simulation.cu:881-890`) but with all CG iterates at the O(dt) delta
+     scale, so the float32 fast path genuinely converges below the
+     reference's 5e-9 tolerance instead of flooring at ~1e-7 and burning
+     the full iteration caps;
+  3. the heat residual is likewise exact in the deltas:
+     r0_U = b_U - A_U @ T = (U_base - T) + L*e_F + dt*(1-gamma)*U_base
+            + dt*lap(T)
+     (`simulation.cu:893-899`; note the reference's last b_U term scales T
      itself, not lap(T) -- replicated verbatim; gamma == 1 in every shipped
-     config so the term vanishes there);
-  4. CG-solve the constant-coefficient implicit heat system
-     A_U * next_U = b_U, warm-started from U (`simulation.cu:901-908`).
+     config so the term vanishes there.  L*(next_F - F) is passed as L*e_F,
+     never recomputed by subtraction);
+  4. CG-solve A_U e_U = r0_U; next_U = T + e_U (`simulation.cu:901-908`).
+
+The anisotropic phase system gets Jacobi (diagonal) preconditioning when
+its diagonal 1 + (2dt/dx^2 + 2dt/dy^2)*s actually varies per cell (S != 0
+or corrector-guess mode); at the isotropic benchmark settings the diagonal
+is constant and plain CG (with the fused pallas kernels) is used -- a
+constant Jacobi scale would change nothing.
 """
 from __future__ import annotations
 
@@ -26,11 +40,21 @@ from ..parallel.topology import Topology
 from .cg import CGResult, cg_solve
 
 
+def _lap_from_padded(vp, p: SimParams):
+    return ((vp[1:-1, 2:] - 2 * vp[1:-1, 1:-1] + vp[1:-1, :-2]) / (p.dx * p.dx)
+            + (vp[2:, 1:-1] - 2 * vp[1:-1, 1:-1] + vp[:-2, 1:-1]) / (p.dy * p.dy))
+
+
+def _wants_jacobi(p: SimParams) -> bool:
+    """Jacobi preconditioning pays only when the A_F diagonal varies."""
+    return (p.S != 0.0 or p.do_corrector_guess) and not p.differentiable
+
+
 def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     """One semi-implicit step.  Returns (next_F, next_U, res_F, res_U)."""
     Fp = topo.pad(F, p.Phi_boundary)
     Up = topo.pad(U, p.T_boundary)
-    b_F, s = semi_implicit_prepare(Fp, Up, p)
+    r0_F, s = semi_implicit_prepare(Fp, Up, p)
 
     # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
     # NOTE: the deeper cg_solve_fused variant (direction update folded into
@@ -46,22 +70,31 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         backend = "xla"  # adjoint solves need the differentiable path
 
     A_F = AnisotropyMatrix.implicit_phase(p)
-    if backend == "pallas":
-        mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
-    elif backend == "pallas_sharded":
-        mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y)
-    else:
+    jacobi = _wants_jacobi(p)
+    if jacobi or backend == "xla":
         mv_F = None
+    elif backend == "pallas":
+        mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
+    else:  # pallas_sharded
+        mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y)
     solver_fn = cg_solve
     if p.differentiable:
         from .cg import cg_solve_diff as solver_fn
-    next_F, res_F = solver_fn(
+    extra = {}
+    if not p.differentiable:
+        extra["matvec_pAp"] = mv_F
+        if jacobi:
+            extra["diag"] = 1 + A_F.Cm1 * s
+    e_F, res_F = solver_fn(
         lambda v: anisotropy_matvec(A_F, s, v, topo),
-        b_F, x0=F, tolerance=p.Phi_tolerance,
-        max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo,
-        **({} if p.differentiable else {"matvec_pAp": mv_F}))
+        r0_F, tolerance=p.Phi_tolerance,
+        max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo, **extra)
+    next_F = F + e_F
 
-    b_U = U_base + p.L * (next_F - F) + p.dt * (1 - p.gamma) * U_base
+    # heat residual in deltas; U_base - U is exactly zero (same array) on
+    # the non-corrector path and XLA folds it away
+    r0_U = ((U_base - U) + p.L * e_F + p.dt * (1 - p.gamma) * U_base
+            + p.dt * _lap_from_padded(Up, p))
 
     A_U = CrossMatrix.implicit_heat(p)
     if backend == "pallas":
@@ -70,23 +103,28 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         mv_U = lambda v: cross_matvec_pAp_sharded(A_U, v, topo.axis_y)
     else:
         mv_U = None
-    next_U, res_U = solver_fn(
+    e_U, res_U = solver_fn(
         lambda v: cross_matvec(A_U, v, topo),
-        b_U, x0=U, tolerance=p.T_tolerance,
+        r0_U, tolerance=p.T_tolerance,
         max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
         **({} if p.differentiable else {"matvec_pAp": mv_U}))
+    next_U = U + e_U
     return next_F, next_U, res_F, res_U
 
 
 def back_substitution_error(next_F, next_U, F, U, U_base, p: SimParams,
                             topo: Topology):
-    """Debug check: Lmax of A*x - b for both systems (`simulation.cu:910-923`)."""
+    """Debug check: Lmax of A*x - b for both systems (`simulation.cu:910-923`),
+    evaluated in the same delta form the solver uses:
+    A@(x - x0) - r0 == A@x - b exactly."""
     Fp = topo.pad(F, p.Phi_boundary)
     Up = topo.pad(U, p.T_boundary)
-    b_F, s = semi_implicit_prepare(Fp, Up, p)
-    b_U = U_base + p.L * (next_F - F) + p.dt * (1 - p.gamma) * U_base
+    r0_F, s = semi_implicit_prepare(Fp, Up, p)
+    e_F = next_F - F
+    r0_U = ((U_base - U) + p.L * e_F + p.dt * (1 - p.gamma) * U_base
+            + p.dt * _lap_from_padded(Up, p))
     A_F = AnisotropyMatrix.implicit_phase(p)
     A_U = CrossMatrix.implicit_heat(p)
-    err_F = topo.max(jnp.abs(anisotropy_matvec(A_F, s, next_F, topo) - b_F))
-    err_U = topo.max(jnp.abs(cross_matvec(A_U, next_U, topo) - b_U))
+    err_F = topo.max(jnp.abs(anisotropy_matvec(A_F, s, e_F, topo) - r0_F))
+    err_U = topo.max(jnp.abs(cross_matvec(A_U, next_U - U, topo) - r0_U))
     return err_F, err_U

@@ -104,3 +104,45 @@ def test_cg_iteration_cap():
     x, res = cg_solve(lambda v: A @ v, b, tolerance=1e-14, max_iters=3)
     assert int(res.iters) == 3
     assert not bool(res.converged)
+
+
+def test_pcg_jacobi_matches_and_accelerates(rng):
+    """Jacobi PCG (cg_solve diag=...) solves the same system and needs
+    strictly fewer iterations when the diagonal varies strongly."""
+    n = 400
+    d = np.abs(rng.normal(size=n)) * 100 + 1  # wildly varying diagonal
+    M = rng.normal(size=(n, n)) * 0.3
+    A = M @ M.T + np.diag(d)
+    xs = rng.normal(size=(n,))
+    b = A @ xs
+    diag = np.diag(A)
+    x_p, res_p = cg_solve(lambda v: A @ v, b, diag=diag,
+                          tolerance=1e-6, max_iters=300)
+    x_n, res_n = cg_solve(lambda v: A @ v, b,
+                          tolerance=1e-6, max_iters=300)
+    np.testing.assert_allclose(np.asarray(x_p), xs, rtol=1e-5, atol=1e-6)
+    assert bool(res_p.converged) and bool(res_n.converged)
+    assert int(res_p.iters) < int(res_n.iters)
+
+
+def test_pcg_constant_diag_is_plain_cg(rng):
+    """A constant diag is a pure rescaling: same iteration count and the
+    same solution to convergence accuracy (iterates differ only by the
+    roundoff of the rescale)."""
+    n = 32
+    M = rng.normal(size=(n, n))
+    A = M @ M.T + n * np.eye(n)
+    b = rng.normal(size=(n,))
+    x_p, res_p = cg_solve(lambda v: A @ v, b, diag=np.full(n, 3.7),
+                          tolerance=1e-8, max_iters=100)
+    x_n, res_n = cg_solve(lambda v: A @ v, b,
+                          tolerance=1e-8, max_iters=100)
+    assert int(res_p.iters) == int(res_n.iters)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_n),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_pcg_rejects_fused_combo():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cg_solve(lambda v: v, np.ones(4), diag=np.ones(4),
+                 matvec_pAp=lambda v: (v, 1.0))

@@ -106,14 +106,69 @@ def test_ensemble_driver(tmp_path, monkeypatch):
     assert np.isfinite(snap.maps["U_mean"]).all()
 
 
-def test_ensemble_rejects_adaptive(tmp_path, monkeypatch):
+def test_ensemble_adaptive_runs(tmp_path, monkeypatch):
+    """Round-2 lift: the adaptive solver works under [tpu] ensemble (per-
+    member tau; masked advance keeps members frozen once past the target)."""
     monkeypatch.chdir(tmp_path)
     text = (CONFIG_TEXT.replace("solver = explicit", "solver = explicit-rk4-adaptive")
             .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.03\n[tpu]\nensemble = 2\n")
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    assert res.sim_time >= 2e-5 - 1e-12
+    snap = load_bin_maps(os.path.join(res.save_folder, "maps_0001.bin"))
+    assert set(snap.maps) >= {"F", "U", "F_mean", "U_std", "tau"}
+    assert np.isfinite(snap.maps["F_mean"]).all()
+
+
+def test_ensemble_adaptive_with_stats_rejected(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    text = (CONFIG_TEXT.replace("solver = explicit", "solver = explicit-rk4-adaptive")
             + "\n[tpu]\nensemble = 2\n")
     open("c.ini", "w").write(text)
     with pytest.raises(ValueError, match="adaptive"):
         run_config_file("c.ini")
+
+
+def test_ensemble_stats_per_member_csv(tmp_path, monkeypatch):
+    """Round-2 lift: the stats pipeline works under [tpu] ensemble -- member
+    0 keeps the reference-compatible stats.csv, members 1.. get per-member
+    files with the same schema and row count."""
+    monkeypatch.chdir(tmp_path)
+    text = (CONFIG_TEXT
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.03\n[tpu]\nensemble = 2\n")
+    open("c.ini", "w").write(text)
+    res = run_config_file("c.ini")
+    f0 = open(os.path.join(res.save_folder, "stats.csv")).read().splitlines()
+    f1 = open(os.path.join(res.save_folder, "stats_m001.csv")).read().splitlines()
+    assert len(f0) == len(f1) == 2 + 4  # header x2 + 4 steps
+    assert f0[0] == f1[0] and f0[1] == f1[1]  # same schema
+    assert f0[2:] != f1[2:]  # noise seeds differ -> different stats
+
+
+def test_ensemble_with_spatial_shards(tmp_path, monkeypatch):
+    """Round-2 lift: [tpu] ensemble x shards_y from the config file (the
+    dp x spatial decomposition); matches the unsharded ensemble run."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    base = (CONFIG_TEXT
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.03\n[tpu]\nensemble = 2\n")
+    open("plain.ini", "w").write(base)
+    open("sharded.ini", "w").write(base + "\n[tpu]\nshards_y = 2\nbatch_shards = 2\n")
+    r1 = run_config_file("plain.ini")
+    r2 = run_config_file("sharded.ini")
+    a = load_bin_maps(os.path.join(r1.save_folder, "maps_0001.bin"))
+    b = load_bin_maps(os.path.join(r2.save_folder, "maps_0001.bin"))
+    np.testing.assert_allclose(b.maps["F"], a.maps["F"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(b.maps["U_mean"], a.maps["U_mean"], rtol=0, atol=1e-6)
+    assert b.iter == a.iter
 
 
 def test_snapshot_events_within_half_step_not_duplicated(tmp_path, monkeypatch):

@@ -478,3 +478,105 @@ def test_kernel_mixed_boundary_conditions(rng):
     want = oracle([(F, U)], [1.0], p)
     assert_match(got[0], want[0])
     assert_match(got[1], want[1])
+
+
+@pytest.mark.parametrize("T", [2, 4])
+@pytest.mark.parametrize("bc", BCS)
+def test_euler2_pair_matches_two_single_steps(bc, T, rng):
+    """Fused 2-step Euler (temporal blocking) vs two single fused steps:
+    identical in exact arithmetic; compared at f32-rounding tolerance (the
+    env's --xla_allow_excess_precision lets FMA contraction differ between
+    the two kernel graphs)."""
+    from bachelors_tpu.ops.pallas_rhs import euler2_pallas, supports_euler2
+
+    p = params(bc, ny=64, S=0.3)
+    assert supports_euler2(p)
+    (F, U), = rand_states(rng, p, 1)
+    d = 0.3 if bc == BoundaryType.DIRICHLET else 0.0
+    F2, U2 = jnp.asarray(F, jnp.float32), jnp.asarray(U, jnp.float32)
+    for _ in range(T):
+        F2, U2 = blend_rhs_pallas([(F2, U2)], [1.0], p, dirichlet_value=d,
+                                  is_euler=True, interpret=True)
+    Fp, Up = euler2_pallas(jnp.asarray(F, jnp.float32),
+                           jnp.asarray(U, jnp.float32), p,
+                           dirichlet_value=d, interpret=True, T=T)
+    assert_match(Fp, F2)
+    assert_match(Up, U2)
+
+
+def test_euler2_multi_tile_and_isotropic(rng):
+    """Pair kernel across several row-tiles + the S=0 benchmark physics."""
+    from bachelors_tpu.ops.pallas_rhs import euler2_pallas
+
+    p = params(BoundaryType.NEUMANN, ny=256, nx=128, S=0.0)
+    (F, U), = rand_states(rng, p, 1)
+    F1, U1 = blend_rhs_pallas([(F, U)], [1.0], p, is_euler=True, interpret=True)
+    F2, U2 = blend_rhs_pallas([(F1, U1)], [1.0], p, is_euler=True, interpret=True)
+    Fp, Up = euler2_pallas(jnp.asarray(F, jnp.float32),
+                           jnp.asarray(U, jnp.float32), p, interpret=True)
+    assert_match(Fp, F2)
+    assert_match(Up, U2)
+
+
+def test_advance_n_pair_stepper_exact_step_count(rng):
+    """advance_n with a pair stepper lands on exactly n steps for odd and
+    even n and matches the single-step path."""
+    import bachelors_tpu as bt
+    from bachelors_tpu.parallel.topology import Topology
+    from bachelors_tpu.solvers.run import advance_n
+
+    p = params(BoundaryType.NEUMANN, ny=32, S=0.0,
+               solver=bt.SolverType.EXPLICIT_EULER)
+    (F, U), = rand_states(rng, p, 1)
+    st0 = bt.make_state(F, U, p)
+    step = bt.make_stepper(p)
+
+    # a fake pair stepper built from two single steps (the pallas pair
+    # kernel itself is interpret-tested above; here we test the loop math)
+    def pair(s):
+        s1, _ = step(s)
+        s2, _ = step(s1)
+        return s2
+
+    pair.block_steps = 2
+    for n in (4, 7, 1, 0):
+        a = advance_n(step, st0, n)
+        b = advance_n(step, st0, n, pair_stepper=pair)
+        assert int(a.iter) == int(b.iter) == n
+        np.testing.assert_array_equal(np.asarray(a.F), np.asarray(b.F))
+
+    # width-4 blocks: 4*(n//4) + n%4 singles still land on exactly n
+    def quad(s):
+        for _ in range(4):
+            s, _ = step(s)
+        return s
+
+    quad.block_steps = 4
+    for n in (8, 9, 3):
+        a = advance_n(step, st0, n)
+        b = advance_n(step, st0, n, pair_stepper=quad)
+        assert int(a.iter) == int(b.iter) == n
+        np.testing.assert_array_equal(np.asarray(a.F), np.asarray(b.F))
+
+
+def test_pallas_stats_rival_matches_xla(rng):
+    """The independent Pallas fused-stats kernel (the microbench 'custom'
+    rival, analog of `simulation.cu:1300-1358`'s custom-vs-thrust race)
+    agrees with the production XLA stats pass."""
+    from bachelors_tpu.ops.pallas_stats import pallas_field_stats
+    from bachelors_tpu.ops.reductions import field_stats
+    from bachelors_tpu.parallel.topology import Topology
+
+    x = rng.normal(size=(256 * 1024,)).astype(np.float32) * 3.7
+    a = pallas_field_stats(jnp.asarray(x), interpret=True)
+    b = field_stats(jnp.asarray(x), Topology())
+    for k in ("sum", "L1", "L2", "min", "max"):
+        got, want = float(getattr(a, k)), float(getattr(b, k))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4), k
+
+
+def test_pallas_stats_rejects_ragged():
+    from bachelors_tpu.ops.pallas_stats import pallas_field_stats
+
+    with pytest.raises(ValueError, match="divisible"):
+        pallas_field_stats(jnp.ones(1000), interpret=True)

@@ -58,15 +58,16 @@ def test_blend_rhs_matches_blend_of_samples(bc, rng):
 @pytest.mark.parametrize("guess", [False, True])
 def test_semi_implicit_prepare_consistency(guess, rng):
     """For gamma=0 the semi-implicit prep must reduce to an Euler step:
-    b_F == Phi + dt * dPhi_dt and the implicit factor s == 0."""
+    the delta-form residual r0_F == dt * dPhi_dt (so Phi + e == the Euler
+    update) and the implicit factor s == 0."""
     p = params(BoundaryType.NEUMANN, do_corrector_guess=guess, gamma=0.0)
     F = rng.normal(size=(p.ny, p.nx))
     U = rng.normal(size=(p.ny, p.nx))
     Fp = pad_oracle(F, "neumann")
     Up = pad_oracle(U, "neumann")
-    b_F, s = semi_implicit_prepare(Fp, Up, p)
+    r0_F, s = semi_implicit_prepare(Fp, Up, p)
     dF, dU = rhs_padded(Fp, Up, p)
-    np.testing.assert_allclose(np.asarray(b_F), np.asarray(F + p.dt * dF),
+    np.testing.assert_allclose(np.asarray(r0_F), np.asarray(p.dt * dF),
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-15)
 

@@ -180,3 +180,33 @@ def test_solver_none_rejected():
     p = base_params(solver=SolverType.NONE)
     with pytest.raises(ValueError):
         bt.make_stepper(p)
+
+
+def test_f32_semi_implicit_converges_below_cap():
+    """At the reference benchmark settings (tolerance 5e-9, caps 20,
+    `benchmark_configs/config_semi-implicit_512.ini`) the float32 delta-form
+    CG exits in single-digit iterations.  Round-1 regression target: the b_F
+    formulation floored at ~1e-7 absolute and always burned the full
+    20+20 caps in f32 (VERDICT r1)."""
+    import bachelors_tpu as bt
+    from bachelors_tpu.solvers.run import advance_n
+
+    # L0=1 at 128^2 reproduces the benchmark ladder's dx (scale multiplies
+    # nx and L0 together, `config.h:481-490`)
+    p = bt.SimParams(nx=128, ny=128, L0=1.0, dt=5e-6, S=0.0,
+                     solver=bt.SolverType.SEMI_IMPLICIT, dtype="float32",
+                     backend="xla", Phi_tolerance=5e-9, T_tolerance=5e-9,
+                     Phi_max_iters=20, T_max_iters=20, do_stats=True,
+                     xi=0.0043, alpha=3.0, beta=1400.0)
+    F, U = bt.make_initial_fields(p, bt.InitialConditions(
+        circle_center=(0.5, 0.5), circle_radius=0.15, circle_fade=4.0))
+    st = bt.make_state(F, U, p)
+    step = bt.make_stepper(p)
+    st = advance_n(step, st, 100)  # develop the interface
+    st2, stats = step(st)
+    assert np.isfinite(np.asarray(st2.F)).all()
+    assert int(stats.Phi_iters) < 20, int(stats.Phi_iters)
+    assert int(stats.T_iters) < 20, int(stats.T_iters)
+    # and not merely below cap -- genuinely converged in single digits
+    assert int(stats.Phi_iters) <= 8
+    assert int(stats.T_iters) <= 8
