@@ -92,6 +92,17 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
     p = cfg.params
     from .viewer import available_maps
 
+    if jax.process_count() > 1:
+        # multi-process: every process participates in the allgather (a
+        # collective), only the primary writes files below
+        from jax.experimental import multihost_utils
+
+        state = jax.tree.map(
+            lambda a: multihost_utils.process_allgather(a, tiled=True)
+            if getattr(a, "ndim", 0) >= 2 else np.asarray(a), state)
+        if jax.process_index() != 0:
+            return
+
     if np.asarray(state.F).ndim == 3:
         # ensemble run: member 0 plus across-member mean/std maps
         Fb = np.asarray(state.F)
@@ -197,7 +208,8 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
 
     folder = ""
-    if make_folder:
+    primary = jax.process_index() == 0
+    if make_folder and primary:
         folder = make_save_folder(cfg.snapshot_folder, cfg.snapshot_prefix,
                                   cfg.snapshot_postfix, p.solver.value)
         SYSTEM.set_file(os.path.join(folder, "log.txt"))
@@ -370,6 +382,12 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
 def run_config_file(path: str, overrides: Optional[List[str]] = None,
                     make_folder: bool = True) -> Optional[RunResult]:
     cfg = load_config(path, overrides)
+    if cfg.multihost:
+        # real pod/cluster path: jax autodetects (Cloud TPU / SLURM / k8s /
+        # OpenMPI); see bachelors_tpu/launch.py for the local analog
+        from ..parallel.multihost import initialize
+
+        initialize(num_processes=None)
     if cfg.run_tests:
         from .selftest import run_selftests
 
@@ -388,9 +406,34 @@ def run_config_file(path: str, overrides: Optional[List[str]] = None,
     return run_simulation(cfg, make_folder=make_folder)
 
 
+def _init_multiprocess_from_env() -> None:
+    """Apply the BTPU_* launcher contract (see ``bachelors_tpu.launch``).
+
+    Must run before ANY backend query: the platform override uses the
+    config API (jax is pre-imported in some environments, so env vars bind
+    too late) and jax.distributed.initialize refuses after backend init.
+    """
+    platform = os.environ.get("BTPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    cpu_devices = int(os.environ.get("BTPU_CPU_DEVICES", "0"))
+    if cpu_devices:
+        jax.config.update("jax_num_cpu_devices", cpu_devices)
+    nprocs = int(os.environ.get("BTPU_NPROCS", "0"))
+    if nprocs > 1:
+        from ..parallel.multihost import initialize
+
+        initialize(coordinator_address=os.environ["BTPU_COORD"],
+                   num_processes=nprocs,
+                   process_id=int(os.environ["BTPU_PID"]))
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import sys
 
+    _init_multiprocess_from_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     overrides = []
     paths = []

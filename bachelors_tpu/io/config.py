@@ -180,6 +180,7 @@ class SimConfig:
     shards_x: int = 1
     ensemble: int = 1
     batch_shards: int = 1  # devices along the ensemble (batch) mesh axis
+    multihost: bool = False  # jax.distributed autodetect (pods/SLURM/k8s)
 
 
 def load_config(path: str, overrides: Optional[List[str]] = None) -> SimConfig:
@@ -277,6 +278,7 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         shards_x=b.get_int("tpu", "shards_x", 1, required=False),
         ensemble=b.get_int("tpu", "ensemble", 1, required=False),
         batch_shards=b.get_int("tpu", "batch_shards", 1, required=False),
+        multihost=b.get_bool("tpu", "multihost", False, required=False),
     )
 
     # scale multiplier (`config.h:481-490`): scales the mesh and the domain

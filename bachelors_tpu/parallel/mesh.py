@@ -67,7 +67,16 @@ def shard_state(state, mesh: Mesh, topo: Topology, batched: bool = False):
     sspec = P(topo.axis_batch) if (batched and topo.axis_batch) else P()
 
     def place(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            # multi-process: device_put of a host-local array onto a mesh
+            # spanning other processes is not allowed; build the global
+            # array from per-shard callbacks (every process holds the same
+            # full host copy, so any index is servable locally)
+            full = np.asarray(x)
+            return jax.make_array_from_callback(full.shape, sh,
+                                                lambda idx: full[idx])
+        return jax.device_put(x, sh)
 
     import dataclasses
 

@@ -34,12 +34,16 @@ def initialize(coordinator_address: Optional[str] = None,
     With no arguments, relies on the TPU pod environment (autodetection);
     returns False (no-op) when running single-process.
     """
+    # must not touch the backend before jax.distributed.initialize (even
+    # jax.process_count() would initialize XLA); probe the distributed
+    # client state directly
     try:
-        already = jax.process_count() > 1
-    except Exception:
-        already = False
-    if already:
-        return True
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return True
+    except Exception:  # pragma: no cover - private-API drift
+        pass
     if coordinator_address is None and num_processes is None:
         # single process, nothing to do
         return False

@@ -161,3 +161,79 @@ def test_multihost_noop_single_process():
     assert initialize() is False  # single process: no-op
     assert is_primary()
     assert local_device_count() >= 1
+
+
+def test_multihost_two_processes(tmp_path):
+    """REAL distributed smoke test: two OS processes form one
+    jax.distributed cluster (the DCN analog on CPU), run one y-sharded step
+    over the 4 global devices, and compare against the single-device oracle
+    (tests/multihost_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        try:
+            s.bind(("127.0.0.1", 0))
+        except OSError:
+            pytest.skip("cannot bind local ports")
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               JAX_COMPILATION_CACHE_DIR="")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for pr in procs:
+            out, _ = pr.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:  # pragma: no cover
+        for pr in procs:
+            pr.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, out
+    assert any("MULTIHOST_OK" in o for o in outs), "\n".join(outs)
+
+
+def test_multihost_driver_launcher(tmp_path, monkeypatch):
+    """The pod-launch analog end-to-end: ``bachelors_tpu.launch`` spawns two
+    coordinated driver processes (BTPU_* contract), the grid is sharded over
+    the 4 global devices, and the primary's snapshot equals a
+    single-process run."""
+    import glob
+    import os
+
+    from test_io_driver import CONFIG_TEXT
+    from bachelors_tpu.app.driver import run_config_file
+    from bachelors_tpu.io.snapshot import load_bin_maps
+    from bachelors_tpu.launch import launch
+
+    monkeypatch.chdir(tmp_path)
+    base = (CONFIG_TEXT
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            .replace("mesh_size_x = 16", "mesh_size_x = 32")
+            .replace("mesh_size_y = 16", "mesh_size_y = 32"))
+    open("single.ini", "w").write(base)
+    r1 = run_config_file("single.ini")
+    a = load_bin_maps(os.path.join(r1.save_folder, "maps_0001.bin"))
+
+    open("multi.ini", "w").write(base + "\n[tpu]\nshards_y = 4\n")
+    # the workers must not inherit the test harness's 8-device XLA flag
+    monkeypatch.setenv("XLA_FLAGS", "")
+    rc = launch(2, ["multi.ini"], platform="cpu", cpu_devices=2)
+    assert rc == 0
+    folders = sorted(glob.glob("snapshots/*"), key=os.path.getmtime)
+    b = load_bin_maps(os.path.join(folders[-1], "maps_0001.bin"))
+    assert b.iter == a.iter
+    np.testing.assert_allclose(b.maps["F"], a.maps["F"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(b.maps["U"], a.maps["U"], rtol=0, atol=1e-6)
