@@ -91,16 +91,22 @@ def _row_mask(A, row):
     return ids == row
 
 
-def _shift_x(A, bc: BoundaryType, d_eff):
+def _shift_x(A, bc: BoundaryType, d_eff, g_w=None, g_e=None):
     """East/west neighbors of every cell in a (rows, nx) block.
 
     Rotate + fix the single wrapped edge column via an iota mask; for
-    periodic BCs the rotation is already exact.
+    periodic BCs the rotation is already exact.  When ghost columns
+    ``g_w``/``g_e`` (shape (rows, 1)) are given -- the x-sharded case --
+    they replace the BC fixup: the neighbor-shard/global-BC values were
+    produced outside the kernel (`_ghost_cols`).
     """
     nx = A.shape[1]
     east = _roll(A, -1, 1)
     west = _roll(A, 1, 1)
-    if bc == BoundaryType.NEUMANN:
+    if g_w is not None:
+        east = jnp.where(_col_mask(A, nx - 1), g_e, east)
+        west = jnp.where(_col_mask(A, 0), g_w, west)
+    elif bc == BoundaryType.NEUMANN:
         east = jnp.where(_col_mask(A, nx - 1), A, east)
         west = jnp.where(_col_mask(A, 0), A, west)
     elif bc == BoundaryType.DIRICHLET:
@@ -241,20 +247,24 @@ def _make_physics(p: SimParams):
 
 
 def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
-                 ghost: bool = False):
+                 ghost: bool = False, ghost_x: bool = False):
     f_bc = p.Phi_boundary
     u_bc = p.T_boundary
     phys = _make_physics(p)
 
     def kernel(*refs):
         # refs: scalars_ref, per-state (Fc, Fn, Fs, Uc, Un, Us),
-        # [4 ghost-row arrays when ghost], extra center-only inputs, then
-        # outputs (out_F, out_U[, err_F, err_U])
+        # [4 ghost-row arrays when ghost], [4 ghost-column arrays when
+        # ghost_x], extra center-only inputs, then outputs
+        # (out_F, out_U[, err_F, err_U])
         scal = refs[0]
         ins = refs[1:1 + 6 * n_states]
         i0 = 1 + 6 * n_states
         if ghost:
             gF_lo, gF_hi, gU_lo, gU_hi = refs[i0:i0 + 4]
+            i0 += 4
+        if ghost_x:
+            gF_w, gF_e, gU_w, gU_e = refs[i0:i0 + 4]
             i0 += 4
         extra = refs[i0:i0 + n_extra]
         outs = refs[i0 + n_extra:]
@@ -299,9 +309,14 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
 
         F_N, F_S = shift_y(Fc, Fn, Fs)
         U_N, U_S = shift_y(Uc, Un, Us)
-        # x-neighbors: in-VMEM shifts with BC edge columns
-        F_E, F_W = _shift_x(Fc, f_bc, d_eff)
-        U_E, U_W = _shift_x(Uc, u_bc, d_eff)
+        # x-neighbors: in-VMEM shifts with BC edge columns, or spliced
+        # ghost columns when the x dimension is sharded
+        if ghost_x:
+            F_E, F_W = _shift_x(Fc, f_bc, d_eff, gF_w[:, 0:1], gF_e[:, 0:1])
+            U_E, U_W = _shift_x(Uc, u_bc, d_eff, gU_w[:, 0:1], gU_e[:, 0:1])
+        else:
+            F_E, F_W = _shift_x(Fc, f_bc, d_eff)
+            U_E, U_W = _shift_x(Uc, u_bc, d_eff)
 
         dt_F, dt_U = phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu)
 
@@ -340,7 +355,8 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
 
 
 def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
-           with_err: bool = False, ghost: bool = False):
+           with_err: bool = False, ghost: bool = False,
+           ghost_x: bool = False):
     """Block specs: center (ty, nx) blocks + (8, nx) halo row-groups.
 
     Halo index maps are in 8-row-block units (ty is a multiple of 8):
@@ -375,6 +391,11 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
         for _ in range(4):
             in_specs.append(pl.BlockSpec((8, nx), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
+    if ghost_x:
+        # (ny_local, 128) ghost-column arrays, row-blocked with the center
+        for _ in range(4):
+            in_specs.append(pl.BlockSpec((ty, 128), center,
+                                         memory_space=pltpu.VMEM))
     for _ in range(n_extra):
         in_specs.append(pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM))
     out_specs = [
@@ -390,19 +411,23 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
 
 
 @functools.partial(jax.jit, static_argnames=("p", "n_states", "mode", "interpret",
-                                             "ghost", "ny_local"))
+                                             "ghost", "ghost_x", "ny_local",
+                                             "nx_local"))
 def _call(p: SimParams, n_states: int, mode: str, interpret: bool,
-          scalars, *fields, ghost: bool = False, ny_local: int = 0):
+          scalars, *fields, ghost: bool = False, ghost_x: bool = False,
+          ny_local: int = 0, nx_local: int = 0):
     n_extra = 4 if mode == "rk4_combine" else 0
     with_err = mode == "rkm_final"
     ny = ny_local or p.ny
-    ty = _tile_y(ny, p.nx, n_states + n_extra // 2, 4)
+    nx = nx_local or p.nx
+    ty = _tile_y(ny, nx, n_states + n_extra // 2, 4)
     grid = ny // ty
     # local-shape view of the params for spec construction
-    pl_view = p if ny == p.ny else p.replace(ny=ny)
-    in_specs, out_specs = _specs(pl_view, ty, n_states, n_extra, with_err, ghost)
-    kernel = _make_kernel(p, n_states, mode, n_extra, ghost)
-    shape = jax.ShapeDtypeStruct((ny, p.nx), jnp.float32)
+    pl_view = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
+    in_specs, out_specs = _specs(pl_view, ty, n_states, n_extra, with_err,
+                                 ghost, ghost_x)
+    kernel = _make_kernel(p, n_states, mode, n_extra, ghost, ghost_x)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
     out_shape = [shape, shape]
     if with_err:
         err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
@@ -517,81 +542,129 @@ def _ghost_rows(states, weights, bc: BoundaryType, which: int, axis_name: str,
     return jnp.pad(ghost_lo, pad), jnp.pad(ghost_hi, pad)
 
 
-def _stage_call_sharded(states, weights, p: SimParams, axis_y: str, mode: str,
+def _ghost_cols(states, weights, bc: BoundaryType, which: int, axis_name: str,
+                d_eff):
+    """Blended shard-edge ghost COLUMNS via one ppermute pair (the x-sharded
+    twin of ``_ghost_rows``).  Returns (ghost_w, ghost_e) of shape
+    (ny_local, 128) -- lane-padded; only column 0 carries data."""
+    from jax import lax
+
+    first = states[0][which][:, 0:1]
+    last = states[0][which][:, -1:]
+    for (pair, w) in zip(states[1:], weights[1:]):
+        first = first + pair[which][:, 0:1] * w
+        last = last + pair[which][:, -1:] * w
+
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    ghost_w = lax.ppermute(last, axis_name, fwd)    # from west neighbor
+    ghost_e = lax.ppermute(first, axis_name, bwd)   # from east neighbor
+
+    if bc != BoundaryType.PERIODIC:
+        if bc == BoundaryType.NEUMANN:
+            bc_w, bc_e = first, last
+        else:  # DIRICHLET mirror (d_eff already weight-scaled, see ops/rhs)
+            d = jnp.asarray(d_eff, first.dtype)
+            bc_w, bc_e = 2 * d - first, 2 * d - last
+        ghost_w = jnp.where(idx == 0, bc_w, ghost_w)
+        ghost_e = jnp.where(idx == n - 1, bc_e, ghost_e)
+
+    pad = ((0, 0), (0, 127))
+    return jnp.pad(ghost_w, pad), jnp.pad(ghost_e, pad)
+
+
+def _stage_call_sharded(states, weights, p: SimParams, axis_y, mode: str,
                         extra=(), fu=0.0, dirichlet_value=0.0, tau=0.0,
-                        interpret: bool = False):
-    """Any fused stage inside shard_map (grid sharded on rows).
+                        interpret: bool = False, axis_x=None):
+    """Any fused stage inside shard_map (grid sharded on rows, or rows x
+    cols).
 
     The y-halo at shard seams rides ICI as two blended ghost rows per field
-    (4 small ppermutes per stage); everything else -- blending, x-BCs,
-    stencil, physics, mode-specific combinations -- stays in the single
-    fused kernel per shard.  Extra center-only inputs (rk4_combine) need no
-    halo.  The x dimension must be unsharded (1D row decomposition).
+    (4 small ppermutes per stage); on 2D meshes the x-halo adds two blended
+    ghost columns per field.  Everything else -- blending, BCs along
+    unsharded dims, stencil, physics, mode-specific combinations -- stays in
+    the single fused kernel per shard.  Extra center-only inputs
+    (rk4_combine) need no halo.
     """
     n = len(states)
     w = _scalar_row(weights, n, dirichlet_value, fu, tau)
-    gF_lo, gF_hi = _ghost_rows(states, weights, p.Phi_boundary, 0, axis_y,
-                               dirichlet_value)
-    gU_lo, gU_hi = _ghost_rows(states, weights, p.T_boundary, 1, axis_y,
-                               dirichlet_value)
     fields = []
     for F, U in states:
         fields += [F, F, F, U, U, U]
-    fields += [gF_lo, gF_hi, gU_lo, gU_hi]
+    ghost = axis_y is not None
+    if ghost:
+        gF_lo, gF_hi = _ghost_rows(states, weights, p.Phi_boundary, 0, axis_y,
+                                   dirichlet_value)
+        gU_lo, gU_hi = _ghost_rows(states, weights, p.T_boundary, 1, axis_y,
+                                   dirichlet_value)
+        fields += [gF_lo, gF_hi, gU_lo, gU_hi]
+    ghost_x = axis_x is not None
+    if ghost_x:
+        gF_w, gF_e = _ghost_cols(states, weights, p.Phi_boundary, 0, axis_x,
+                                 dirichlet_value)
+        gU_w, gU_e = _ghost_cols(states, weights, p.T_boundary, 1, axis_x,
+                                 dirichlet_value)
+        fields += [gF_w, gF_e, gU_w, gU_e]
     fields += list(extra)
-    ny_local = states[0][0].shape[0]
+    ny_local, nx_local = states[0][0].shape
     return _call(p, n, mode, interpret, w, *fields,
-                 ghost=True, ny_local=ny_local)
+                 ghost=ghost, ghost_x=ghost_x,
+                 ny_local=ny_local, nx_local=nx_local)
 
 
-def blend_rhs_pallas_sharded(states, weights, p: SimParams, axis_y: str,
+def blend_rhs_pallas_sharded(states, weights, p: SimParams, axis_y,
                              fu=0.0, dirichlet_value=0.0,
-                             is_euler: bool = False, interpret: bool = False):
+                             is_euler: bool = False, interpret: bool = False,
+                             axis_x=None):
     """Fused RHS stage inside shard_map (see ``_stage_call_sharded``)."""
     out = _stage_call_sharded(states, weights, p, axis_y,
                               "euler" if is_euler else "rhs",
                               fu=fu, dirichlet_value=dirichlet_value,
-                              interpret=interpret)
+                              interpret=interpret, axis_x=axis_x)
     return out[0], out[1]
 
 
-def rk4_final_stage_pallas_sharded(x, k1, k2, k3, p: SimParams, axis_y: str,
+def rk4_final_stage_pallas_sharded(x, k1, k2, k3, p: SimParams, axis_y,
                                    fu=0.0, dirichlet_value=0.0,
-                                   interpret: bool = False):
+                                   interpret: bool = False, axis_x=None):
     """Sharded twin of ``rk4_final_stage_pallas``."""
     out = _stage_call_sharded([x, k3], [1.0, p.dt], p, axis_y, "rk4_combine",
                               extra=[k1[0], k1[1], k2[0], k2[1]],
                               fu=fu, dirichlet_value=dirichlet_value,
-                              interpret=interpret)
+                              interpret=interpret, axis_x=axis_x)
     return out[0], out[1]
 
 
 def rkm_final_stage_pallas_sharded(x, k1, k3, k4, tau, p: SimParams,
-                                   axis_y: str, fu=0.0, dirichlet_value=0.0,
-                                   interpret: bool = False):
+                                   axis_y, fu=0.0, dirichlet_value=0.0,
+                                   interpret: bool = False, axis_x=None):
     """Sharded twin of ``rkm_final_stage_pallas``.
 
     Returns (next_F, next_U, emax_F, emax_U) with SHARD-LOCAL error maxima;
-    the caller must pmax them over the mesh axis.
+    the caller must pmax them over the mesh axes.
     """
     out = _stage_call_sharded([x, k1, k3, k4],
                               [1.0, tau / 2, -3 * tau / 2, 2 * tau],
                               p, axis_y, "rkm_final", fu=fu,
                               dirichlet_value=dirichlet_value, tau=tau,
-                              interpret=interpret)
+                              interpret=interpret, axis_x=axis_x)
     next_F, next_U, err_F, err_U = out
     return next_F, next_U, jnp.max(err_F), jnp.max(err_U)
 
 
-def supports_sharded(p: SimParams, ny_local: int, n_states: int = 4) -> bool:
-    """Ghost-row kernel feasibility for a local shard of ny_local rows."""
-    if p.dtype != "float32" or p.nx % 128 != 0:
+def supports_sharded(p: SimParams, ny_local: int, n_states: int = 4,
+                     nx_local: int = 0) -> bool:
+    """Ghost kernel feasibility for a local (ny_local, nx_local) shard."""
+    nx_local = nx_local or p.nx
+    if p.dtype != "float32" or nx_local % 128 != 0:
         return False
     if ny_local % 8 != 0 or ny_local < 16:
         return False
     if p.S != 0.0 and not (float(p.m0).is_integer() and p.m0 >= 1):
         return False
-    return _tile_y(ny_local, p.nx, n_states, 4) >= 8
+    return _tile_y(ny_local, nx_local, n_states, 4) >= 8
 
 
 def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):

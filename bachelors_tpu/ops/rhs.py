@@ -67,7 +67,8 @@ def eval_rhs(
         d_eff = dirichlet_value * _weight_sum(weights)
 
     backend = _resolve_backend(p, topo, len(states),
-                               ny_local=states[0][0].shape[0])
+                               ny_local=states[0][0].shape[0],
+                               nx_local=states[0][0].shape[1])
     if backend == "pallas":
         from .pallas_rhs import blend_rhs_pallas
 
@@ -76,7 +77,8 @@ def eval_rhs(
         from .pallas_rhs import blend_rhs_pallas_sharded
 
         return blend_rhs_pallas_sharded(states, weights, p, topo.axis_y,
-                                        fu=fu, dirichlet_value=d_eff)
+                                        fu=fu, dirichlet_value=d_eff,
+                                        axis_x=topo.axis_x)
 
     Fb, Ub = _blend_states(states, weights)
     Fp = topo.pad(Fb, p.Phi_boundary, d_eff)
@@ -90,7 +92,8 @@ def euler_eval(
     """Fused Euler write ``x + dt * f(x)`` (the IS_EULER=true kernel mode,
     `simulation.cu:231-240`)."""
     backend = _resolve_backend(p, topo, len(states),
-                               ny_local=states[0][0].shape[0])
+                               ny_local=states[0][0].shape[0],
+                               nx_local=states[0][0].shape[1])
     if backend == "pallas":
         from .pallas_rhs import blend_rhs_pallas
 
@@ -101,7 +104,7 @@ def euler_eval(
 
         return blend_rhs_pallas_sharded(states, weights, p, topo.axis_y,
                                         fu=fu, dirichlet_value=dirichlet_value,
-                                        is_euler=True)
+                                        is_euler=True, axis_x=topo.axis_x)
     Fb, Ub = _blend_states(states, weights)
     Fp = topo.pad(Fb, p.Phi_boundary, dirichlet_value)
     Up = topo.pad(Ub, p.T_boundary, dirichlet_value)
@@ -110,26 +113,30 @@ def euler_eval(
 
 
 def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1,
-                     ny_local: int = 0) -> str:
+                     ny_local: int = 0, nx_local: int = 0,
+                     for_cg: bool = False) -> str:
     """Pick the kernel backend: "pallas" (single chip), "pallas_sharded"
-    (1D row decomposition inside shard_map: ghost rows over ICI + fused
-    kernel per shard), or "xla" (oracle / fallback / 2D meshes)."""
+    (1D/2D decomposition inside shard_map: ghost rows -- and ghost columns
+    on 2D meshes -- over ICI + fused kernel per shard), or "xla" (oracle /
+    fallback).  ``for_cg``: the fused CG matvec kernels only implement the
+    1D ghost-row form; 2D meshes fall back to XLA for the CG path."""
     if p.backend == "xla":
         return "xla"
     from .pallas_rhs import supports, supports_sharded
 
     if topo.is_sharded:
-        # the ghost-row kernel handles the common 1D (rows) decomposition;
-        # 2D meshes use the XLA path (x-ghost columns are lane-dim awkward)
-        if (topo.axis_y is not None and topo.axis_x is None and ny_local
-                and supports_sharded(p, ny_local, n_states)
+        if for_cg and topo.axis_x is not None:
+            return "xla"
+        if (topo.axis_y is not None and ny_local
+                and supports_sharded(p, ny_local, n_states,
+                                     nx_local=nx_local)
                 and _on_tpu_or_forced(p)):
             return "pallas_sharded"
         if p.backend == "pallas":
             raise ValueError(
                 "backend='pallas' requested but the sharded fused kernels "
-                f"do not support this topology/config (axis_x sharded or "
-                f"local shard {ny_local}x{p.nx} dtype={p.dtype} does not "
+                f"do not support this topology/config (local shard "
+                f"{ny_local}x{nx_local or p.nx} dtype={p.dtype} does not "
                 "tile); use backend='auto' to fall back to XLA")
         return "xla"
 

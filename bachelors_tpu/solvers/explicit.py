@@ -98,7 +98,8 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     k3 = eval_rhs([(F, U), k2], [one, dt / 2], p, topo, fu)
     # the rk4_combine kernel holds 2 blend states + 4 extra center blocks =
     # the VMEM footprint of 4 state-pairs; gate capacity accordingly
-    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0])
+    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
+                               nx_local=F.shape[1])
     if backend == "pallas":
         from ..ops.pallas_rhs import rk4_final_stage_pallas
 
@@ -107,7 +108,8 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
         from ..ops.pallas_rhs import rk4_final_stage_pallas_sharded
 
         return rk4_final_stage_pallas_sharded((F, U), k1, k2, k3, p,
-                                              topo.axis_y, fu)
+                                              topo.axis_y, fu,
+                                              axis_x=topo.axis_x)
     k4 = eval_rhs([(F, U), k3], [one, dt], p, topo, fu)
     next_F = F + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
     next_U = U + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
@@ -148,7 +150,8 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     delta = jnp.asarray(max(min(p.Phi_tolerance, p.T_tolerance), 1e-20), dtype)
     tol_F = jnp.asarray(p.Phi_tolerance, dtype)
     tol_U = jnp.asarray(p.T_tolerance, dtype)
-    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0])
+    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
+                               nx_local=F.shape[1])
     fused = backend in ("pallas", "pallas_sharded")
 
     # k1 does not depend on tau: computed once outside the retry loop
@@ -172,7 +175,8 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
                 from ..ops.pallas_rhs import rkm_final_stage_pallas_sharded
 
                 nF, nU, emax_F, emax_U = rkm_final_stage_pallas_sharded(
-                    (F, U), (k1_F, k1_U), k3, k4, tau, p, topo.axis_y, fu)
+                    (F, U), (k1_F, k1_U), k3, k4, tau, p, topo.axis_y, fu,
+                    axis_x=topo.axis_x)
                 emax_F = topo.allmax(emax_F)
                 emax_U = topo.allmax(emax_U)
             else:

@@ -65,7 +65,8 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     from ..ops.pallas_cg import (aniso_matvec_pAp, aniso_matvec_pAp_sharded,
                                  cross_matvec_pAp, cross_matvec_pAp_sharded)
 
-    backend = _resolve_backend(p, topo, 3, ny_local=F.shape[0])
+    backend = _resolve_backend(p, topo, 3, ny_local=F.shape[0],
+                           nx_local=F.shape[1], for_cg=True)
     if p.differentiable:
         backend = "xla"  # adjoint solves need the differentiable path
 

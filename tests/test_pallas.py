@@ -580,3 +580,72 @@ def test_pallas_stats_rejects_ragged():
 
     with pytest.raises(ValueError, match="divisible"):
         pallas_field_stats(jnp.ones(1000), interpret=True)
+
+
+class TestSharded2D:
+    """Ghost-row + ghost-COLUMN kernel on a 2D (y, x) mesh (round 2: the
+    x-sharded fused path, previously an XLA fallback)."""
+
+    @pytest.mark.parametrize("bc", BCS)
+    def test_2d_ghost_kernel_matches_oracle(self, bc, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import blend_rhs_pallas_sharded
+        from bachelors_tpu.ops.rhs import eval_rhs
+        from bachelors_tpu.parallel.mesh import make_mesh
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(bc, ny=32, nx=256, S=0.25, m0=6.0)
+        F = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        U = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        kF = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        kU = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        w = [1.0, 0.371]
+        d = 0.3 if bc == BoundaryType.DIRICHLET else 0.0
+
+        mesh, topo = make_mesh(shards_y=2, shards_x=2)
+        run = jax.shard_map(
+            lambda *a: blend_rhs_pallas_sharded(
+                [(a[0], a[1]), (a[2], a[3])], w, p, topo.axis_y, fu=0.05,
+                dirichlet_value=d * sum(w), interpret=True,
+                axis_x=topo.axis_x),
+            mesh=mesh, in_specs=(P("y", "x"),) * 4,
+            out_specs=(P("y", "x"), P("y", "x")), check_vma=False)
+        with jax.set_mesh(mesh):
+            gF, gU = run(F, U, kF, kU)
+
+        want = eval_rhs([(F, U), (kF, kU)], w, p, Topology(), fu=0.05,
+                        dirichlet_value=d)
+        assert_match(gF, want[0])
+        assert_match(gU, want[1])
+
+    def test_x_only_mesh(self, rng):
+        """1D column decomposition: ghost columns only, y handled by BCs."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import blend_rhs_pallas_sharded
+        from bachelors_tpu.ops.rhs import euler_eval
+        from bachelors_tpu.parallel.mesh import make_mesh
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.NEUMANN, ny=32, nx=512, S=0.0)
+        F = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        U = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        mesh, topo = make_mesh(shards_x=4)
+        run = jax.shard_map(
+            lambda F, U: blend_rhs_pallas_sharded(
+                [(F, U)], [1.0], p, topo.axis_y, is_euler=True,
+                interpret=True, axis_x=topo.axis_x),
+            mesh=mesh, in_specs=(P(None, "x"),) * 2,
+            out_specs=(P(None, "x"), P(None, "x")), check_vma=False)
+        with jax.set_mesh(mesh):
+            gF, gU = run(F, U)
+        want = euler_eval([(F, U)], [1.0], p, Topology())
+        assert_match(gF, want[0])
+        assert_match(gU, want[1])
