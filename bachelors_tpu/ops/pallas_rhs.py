@@ -750,6 +750,183 @@ def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):
     return kernel
 
 
+def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False):
+    """One FULL integrator step (or adaptive attempt) per HBM pass.
+
+    Generalizes the multi-step Euler kernel's extended-block machinery to
+    stage chains: RK4 needs stage depth 4 and the Merson attempt depth 5,
+    both within the 8-row halo groups.  Per pass only x is read and next_x
+    written -- the k stages never touch HBM (the staged path moves ~4
+    arrays per stage).
+
+      scheme="rk4": classic 4-stage step, out = x + dt/6 (k1+2k2+2k3+k4)
+                    (`simulation.cu:313-348`).
+      scheme="rkm": one Merson attempt at the SMEM-supplied tau
+                    (`simulation.cu:400-409`); outputs the 5th-order update
+                    x + tau/6 (k1+4k4+k5) AND per-program partial maxima of
+                    |0.2k1 - 0.9k3 + 0.8k4 - 0.1k5| over the CENTER rows
+                    (halo rows belong to neighbor blocks).
+
+    Ghost handling as in the Euler kernel: at edge programs the 8-row ghost
+    region of every stage BLEND is reset to its 1-deep BC image (clamp /
+    mirror with the blend's effective Dirichlet value d * sum(weights), the
+    exact value the staged path pads with -- ops/rhs.py); interior programs
+    read true neighbor rows from the clamped halo-group maps.  Identical to
+    the staged kernels in exact arithmetic; f32-rounding-tolerance
+    equivalence in floats (FMA contraction differs between graphs).
+    """
+    assert scheme in ("rk4", "rkm")
+    f_bc = p.Phi_boundary
+    u_bc = p.T_boundary
+    phys = _make_physics(p)
+
+    def kernel(*refs):
+        scal, Fc, Fn, Fs, Uc, Un, Us = refs[:7]
+        outs = refs[7:]
+        d = scal[0, 1]
+        fu = scal[0, 2]
+        tau = scal[0, 3]
+        extF = jnp.concatenate([Fs[:], Fc[:], Fn[:]], axis=0)
+        extU = jnp.concatenate([Us[:], Uc[:], Un[:]], axis=0)
+        tye = extF.shape[0]
+
+        def fix(ext, bc, dv):
+            if bc == BoundaryType.PERIODIC:
+                return ext
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, dimension=0)
+            lo = ext[8:9]
+            hi = ext[tye - 9:tye - 8]
+            if bc == BoundaryType.DIRICHLET:
+                lo = 2 * dv - lo
+                hi = 2 * dv - hi
+            ext = jnp.where(jnp.logical_and(rows < 8, i == 0), lo, ext)
+            ext = jnp.where(jnp.logical_and(rows >= tye - 8, i == n - 1),
+                            hi, ext)
+            return ext
+
+        def rnd(a):
+            # replicate the staged path's HBM store rounding under the CPU
+            # interpreter (real f32 VPUs have no excess precision; Mosaic
+            # does not lower reduce_precision)
+            return jax.lax.reduce_precision(a, 8, 23) if interpret else a
+
+        def rhs_at(bF, bU, dv):
+            F_N = _roll(bF, -1, 0)
+            F_S = _roll(bF, 1, 0)
+            U_N = _roll(bU, -1, 0)
+            U_S = _roll(bU, 1, 0)
+            F_E, F_W = _shift_x(bF, f_bc, dv)
+            U_E, U_W = _shift_x(bU, u_bc, dv)
+            return phys(bF, F_N, F_S, F_E, F_W, bU, U_N, U_S, U_E, U_W, fu)
+
+        def stage(ks, ws):
+            """k = f(x + sum_i w_i k_i) with ghost fix at the blend's
+            effective Dirichlet value (weights [1, *ws])."""
+            bF, bU = xF, xU
+            wsum = 1.0
+            for (kF_i, kU_i), w in zip(ks, ws):
+                bF = bF + w * kF_i
+                bU = bU + w * kU_i
+                wsum = wsum + w
+            dv = d * wsum
+            bF = fix(bF, f_bc, dv)
+            bU = fix(bU, u_bc, dv)
+            kF, kU = rhs_at(bF, bU, dv)
+            return rnd(kF), rnd(kU)
+
+        xF = fix(extF, f_bc, d)
+        xU = fix(extU, u_bc, d)
+        k1 = stage([], [])
+        ty = outs[0].shape[0]
+        if scheme == "rk4":
+            dt = p.dt
+            k2 = stage([k1], [dt / 2])
+            k3 = stage([k2], [dt / 2])
+            k4 = stage([k3], [dt])
+            c = dt / 6
+            outs[0][:] = (xF + c * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]))[8:8 + ty]
+            outs[1][:] = (xU + c * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))[8:8 + ty]
+        else:
+            k2 = stage([k1], [tau / 3])
+            k3 = stage([k1, k2], [tau / 6, tau / 6])
+            k4 = stage([k1, k3], [tau / 8, 3 * tau / 8])
+            k5 = stage([k1, k3, k4], [tau / 2, -3 * tau / 2, 2 * tau])
+            c = tau / 6
+            outs[0][:] = (xF + c * (k1[0] + 4 * k4[0] + k5[0]))[8:8 + ty]
+            outs[1][:] = (xU + c * (k1[1] + 4 * k4[1] + k5[1]))[8:8 + ty]
+            mid = slice(8, 8 + ty)
+            eF = jnp.max(jnp.abs(0.2 * k1[0] - 0.9 * k3[0] + 0.8 * k4[0]
+                                 - 0.1 * k5[0])[mid])
+            eU = jnp.max(jnp.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1]
+                                 - 0.1 * k5[1])[mid])
+            outs[2][:] = jnp.full(outs[2].shape, eF)
+            outs[3][:] = jnp.full(outs[3].shape, eU)
+
+    return kernel
+
+
+def supports_fullstep(p: SimParams) -> bool:
+    """Whether the fused whole-integrator kernels handle this config."""
+    return supports(p, n_states=3) and _fullstep_tile(p) >= 8
+
+
+def _fullstep_tile(p: SimParams) -> int:
+    # the stage chain holds ~5 live field pairs on (ty+16)-row blocks
+    return min(_tile_y(p.ny, p.nx, 6, 4, budget=_EULER2_BUDGET), 256)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "scheme", "interpret"))
+def _fullstep_call(p: SimParams, scheme: str, interpret: bool,
+                   F, U, tau, fu, dirichlet_value):
+    ny, nx = p.ny, p.nx
+    ty = _fullstep_tile(p)
+    grid = ny // ty
+    w = _scalar_row([1.0], 1, dirichlet_value, fu, tau)
+    in_specs, out_specs = _specs(p, ty, 1, with_err=(scheme == "rkm"))
+    kernel = _make_fullstep_kernel(p, scheme, interpret)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    out_shape = [shape, shape]
+    if scheme == "rkm":
+        err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
+        out_shape += [err_shape, err_shape]
+    n_stages = 4 if scheme == "rk4" else 5
+    flops_per_cell = n_stages * (40 + (60 if p.S != 0.0 else 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * p.N,
+            bytes_accessed=4 * p.N * 4,
+            transcendentals=n_stages * (2 if p.S != 0.0 else 1) * p.N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w, F, F, F, U, U, U)
+    return tuple(out)
+
+
+def rk4_full_pallas(F, U, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                    interpret: bool = False):
+    """Entire RK4 step in one fused pass (see ``_make_fullstep_kernel``)."""
+    out = _fullstep_call(p, "rk4", interpret, F, U, 0.0, fu, dirichlet_value)
+    return out[0], out[1]
+
+
+def rkm_attempt_pallas(F, U, tau, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                       interpret: bool = False):
+    """Entire Merson attempt (k1..k5 + update + error maxima) in one fused
+    pass.  Returns (next_F, next_U, emax_F, emax_U)."""
+    out = _fullstep_call(p, "rkm", interpret, F, U, tau, fu, dirichlet_value)
+    next_F, next_U, err_F, err_U = out
+    return next_F, next_U, jnp.max(err_F), jnp.max(err_U)
+
+
 def supports_euler2(p: SimParams) -> bool:
     """Whether the fused multi-step Euler kernel handles this config."""
     # the T-fold sweep over (ty+16)-row extended blocks sizes like ~3 states

@@ -91,6 +91,19 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     """
     from ..ops.rhs import _resolve_backend
 
+    backend_full = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
+                                    nx_local=F.shape[1])
+    if backend_full == "pallas" and p.N >= 8 * 1024 * 1024:
+        # whole-step fusion: k1..k4 + combination in ONE HBM pass (the
+        # staged path moves ~4 arrays per stage).  Pays only once the
+        # working set leaves the on-chip cache (measured: 4096^2 1.47 vs
+        # 3.07 ms/step; at <=2048^2 the staged kernels are VPU-bound and
+        # equal or faster -- RESULTS.md)
+        from ..ops.pallas_rhs import rk4_full_pallas, supports_fullstep
+
+        if supports_fullstep(p):
+            return rk4_full_pallas(F, U, p, fu)
+
     dt = p.dt
     one = 1.0
     k1 = eval_rhs([(F, U)], [one], p, topo, fu)
@@ -153,20 +166,38 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
                                nx_local=F.shape[1])
     fused = backend in ("pallas", "pallas_sharded")
+    full = False
+    if backend == "pallas" and p.N >= 1024 * 1024:
+        # whole-attempt fusion pays from ~1024^2 up (measured: 1024^2 127
+        # vs 166 us, 2048^2 0.51 vs 0.54, 4096^2 2.43 vs 5.27 ms/step);
+        # smaller grids are dispatch/while_loop-bound and the staged
+        # kernels win slightly
+        from ..ops.pallas_rhs import supports_fullstep
 
-    # k1 does not depend on tau: computed once outside the retry loop
-    # (`simulation.cu:386`).
-    k1_F, k1_U = eval_rhs([(F, U)], [one], p, topo, fu)
+        full = supports_fullstep(p)
+
+    if not full:
+        # k1 does not depend on tau: computed once outside the retry loop
+        # (`simulation.cu:386`).  The whole-attempt fused kernel recomputes
+        # it in VMEM instead (identical values; retries are rare at settled
+        # tau and the recompute costs less than materializing k1 in HBM).
+        k1_F, k1_U = eval_rhs([(F, U)], [one], p, topo, fu)
 
     def stage(tau):
         """One tau attempt: candidate next state + error norms.
 
-        Fused backend: stage 5, the final 5th-order update and the error
-        partial-maxima all happen in one kernel pass (k5 never hits HBM);
-        otherwise the XLA oracle path materializes k5 and reduces
+        Whole-attempt fusion (single-chip pallas): k1..k5, the 5th-order
+        update and the error partial-maxima all happen in ONE kernel pass
+        (no k ever hits HBM).  Sharded pallas: one fused kernel per stage +
+        the fused final stage.  XLA oracle path: materialize k5 and reduce
         separately (still on-device, unlike the reference's per-iteration
         host readback, `simulation.cu:427-435`).
         """
+        if full:
+            from ..ops.pallas_rhs import rkm_attempt_pallas
+
+            nF, nU, emax_F, emax_U = rkm_attempt_pallas(F, U, tau, p, fu)
+            return nF, nU, tau / 3 * emax_F, tau / 3 * emax_U
         k2 = eval_rhs([(F, U), (k1_F, k1_U)], [one, tau / 3], p, topo, fu)
         k3 = eval_rhs([(F, U), (k1_F, k1_U), k2], [one, tau / 6, tau / 6], p, topo, fu)
         k4 = eval_rhs([(F, U), (k1_F, k1_U), k3], [one, tau / 8, 3 * tau / 8], p, topo, fu)

@@ -649,3 +649,57 @@ class TestSharded2D:
         want = euler_eval([(F, U)], [1.0], p, Topology())
         assert_match(gF, want[0])
         assert_match(gU, want[1])
+
+
+@pytest.mark.parametrize("bc", BCS)
+def test_rk4_full_step_matches_staged_oracle(bc, rng):
+    """Whole-RK4-step fusion (one HBM pass) vs the staged XLA oracle."""
+    from bachelors_tpu.core.params import SimParams
+    from bachelors_tpu.ops.pallas_rhs import rk4_full_pallas, supports_fullstep
+    from bachelors_tpu.parallel.topology import Topology
+    from bachelors_tpu.solvers.explicit import rk4_step
+
+    p = params(bc, ny=64, S=0.3)
+    assert supports_fullstep(p)
+    (F, U), = rand_states(rng, p, 1)
+    want = rk4_step(jnp.asarray(F), jnp.asarray(U), p.replace(backend="xla"),
+                    Topology(), fu=0.03)
+    got = rk4_full_pallas(jnp.asarray(F, jnp.float32),
+                          jnp.asarray(U, jnp.float32), p, fu=0.03,
+                          interpret=True)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
+@pytest.mark.parametrize("bc", BCS)
+def test_rkm_attempt_matches_staged_oracle(bc, rng):
+    """Whole-Merson-attempt fusion vs the staged XLA oracle: next state AND
+    the Lmax error combination."""
+    from bachelors_tpu.ops.pallas_rhs import rkm_attempt_pallas, supports_fullstep
+    from bachelors_tpu.ops.rhs import eval_rhs
+    from bachelors_tpu.parallel.topology import Topology
+
+    p = params(bc, ny=64, S=0.3)
+    assert supports_fullstep(p)
+    (F, U), = rand_states(rng, p, 1)
+    F = jnp.asarray(F, jnp.float32)
+    U = jnp.asarray(U, jnp.float32)
+    tau = 3.7e-6
+    topo = Topology()
+    one = 1.0
+    k1 = eval_rhs([(F, U)], [one], p, topo, 0.03)
+    k2 = eval_rhs([(F, U), k1], [one, tau / 3], p, topo, 0.03)
+    k3 = eval_rhs([(F, U), k1, k2], [one, tau / 6, tau / 6], p, topo, 0.03)
+    k4 = eval_rhs([(F, U), k1, k3], [one, tau / 8, 3 * tau / 8], p, topo, 0.03)
+    k5 = eval_rhs([(F, U), k1, k3, k4], [one, tau / 2, -3 * tau / 2, 2 * tau],
+                  p, topo, 0.03)
+    want_F = F + tau / 6 * (k1[0] + 4 * k4[0] + k5[0])
+    want_U = U + tau / 6 * (k1[1] + 4 * k4[1] + k5[1])
+    want_eF = float(jnp.max(jnp.abs(0.2 * k1[0] - 0.9 * k3[0] + 0.8 * k4[0] - 0.1 * k5[0])))
+    want_eU = float(jnp.max(jnp.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * k5[1])))
+
+    nF, nU, eF, eU = rkm_attempt_pallas(F, U, tau, p, fu=0.03, interpret=True)
+    assert_match(nF, want_F)
+    assert_match(nU, want_U)
+    np.testing.assert_allclose(float(eF), want_eF, rtol=2e-4)
+    np.testing.assert_allclose(float(eU), want_eU, rtol=2e-4)
