@@ -187,7 +187,31 @@ def _pick_halo_rows_ghost(north_grp, south_grp, ghost_lo, ghost_hi):
 #                  |0.2 k1 - 0.9 k3 + 0.8 k4 - 0.1 k5| for both fields --
 #                  k5, the separate final-update pass, and the two
 #                  error-norm sweeps all disappear from HBM traffic.
-_MODES = ("rhs", "euler", "rk4_combine", "rkm_final")
+#   "si_prepare":  out = (r0_F, dt*lap(U)[, s]) -- the delta-form
+#                  semi-implicit prepare (see ``_make_si_terms``); the s
+#                  map is emitted only when it varies per cell.
+_MODES = ("rhs", "euler", "rk4_combine", "rkm_final", "si_prepare")
+
+
+def _g_theta_vpu(gx, gy, grad_norm, p: SimParams):
+    """Anisotropy factor g(theta) = 1 - S*cos(m0*theta + theta0) without
+    atan2 (absent from the Mosaic VPU): for integer m0 the term
+    cos(m0*atan2(gy,gx) + theta0) is computed exactly via the
+    angle-addition recurrence on (cos t, sin t) = (gx, gy)/|grad|:
+      cos((k+1)t) = cos(kt) c - sin(kt) s, sin((k+1)t) = sin(kt) c + cos(kt) s
+    (atan2(0,0) == 0 in the reference -> (c, s) = (1, 0) there).
+    Returns None when S == 0 (g == 1; callers skip the multiplies)."""
+    if p.S == 0.0:
+        return None
+    safe = grad_norm > 0
+    inv_r = jnp.where(safe, 1.0 / jnp.where(safe, grad_norm, 1.0), 0.0)
+    c = jnp.where(safe, gx * inv_r, 1.0)
+    s = jnp.where(safe, gy * inv_r, 0.0)
+    ck, sk = c, s
+    for _ in range(int(p.m0) - 1):
+        ck, sk = ck * c - sk * s, sk * c + ck * s
+    cos_m = ck * math.cos(p.theta0) - sk * math.sin(p.theta0)
+    return 1 - p.S * cos_m
 
 
 def _make_physics(p: SimParams):
@@ -213,25 +237,12 @@ def _make_physics(p: SimParams):
         grad_norm = jnp.sqrt(gx * gx + gy * gy)
         k2 = grad_norm * k2_factor
 
-        if p.S == 0.0:
+        g_theta = _g_theta_vpu(gx, gy, grad_norm, p)
+        if g_theta is None:
             # isotropic fast path (the benchmark configs): g == 1
             k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
             k1_lap_F = lap_F * k1_factor
         else:
-            # Mosaic has no atan2; for integer anisotropy frequency m0 the
-            # term cos(m0*atan2(gy,gx) + theta0) is computed exactly via the
-            # angle-addition recurrence on (cos t, sin t) = (gx, gy)/|grad|:
-            #   cos((k+1)t) = cos(kt) c - sin(kt) s, sin((k+1)t) = sin(kt) c + cos(kt) s
-            # (atan2(0,0) == 0 in the reference -> (c, s) = (1, 0) there).
-            safe = grad_norm > 0
-            inv_r = jnp.where(safe, 1.0 / jnp.where(safe, grad_norm, 1.0), 0.0)
-            c = jnp.where(safe, gx * inv_r, 1.0)
-            s = jnp.where(safe, gy * inv_r, 0.0)
-            ck, sk = c, s
-            for _ in range(int(p.m0) - 1):
-                ck, sk = ck * c - sk * s, sk * c + ck * s
-            cos_m = ck * math.cos(p.theta0) - sk * math.sin(p.theta0)
-            g_theta = 1 - p.S * cos_m
             k0 = g_theta * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
             k1_lap_F = g_theta * lap_F * k1_factor
 
@@ -246,11 +257,63 @@ def _make_physics(p: SimParams):
     return phys
 
 
+def si_s_varies(p: SimParams) -> bool:
+    """Whether the semi-implicit anisotropy coefficient map s varies per
+    cell.  When False (the isotropic, no-corrector-guess benchmark family)
+    s == gamma/alpha everywhere: the prepare kernel skips the s output and
+    the CG matvec folds the constant into its stencil coefficients, saving
+    one full map of HBM traffic per CG iteration."""
+    return p.S != 0.0 or p.do_corrector_guess
+
+
+def _make_si_terms(p: SimParams):
+    """Delta-form semi-implicit prepare on already-shifted neighbors.
+
+    The fused twin of ``models.allen_cahn.semi_implicit_prepare``
+    (`simulation.cu:798-871`) plus the heat-residual Laplacian term
+    uterm = dt*lap(U) (`simulation.cu:893-899`), which costs nothing here
+    because U's neighbors are already in VMEM.  Returns (r0_F, uterm, s)
+    with s None when it is a compile-time constant (``si_s_varies``)."""
+    dx, dy = p.dx, p.dy
+    inv_2dx, inv_2dy = 1.0 / (2 * dx), 1.0 / (2 * dy)
+    inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
+    k0_factor = p.a / (p.xi * p.xi * p.alpha)
+    k2_factor = p.b * p.beta / p.alpha
+    k1_factor = 1.0 / p.alpha
+
+    def terms(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W):
+        lap_F = (F_W - 2 * Fc + F_E) * inv_dx2 + (F_S - 2 * Fc + F_N) * inv_dy2
+        lap_U = (U_W - 2 * Uc + U_E) * inv_dx2 + (U_S - 2 * Uc + U_N) * inv_dy2
+        gx = (F_E - F_W) * inv_2dx
+        gy = (F_N - F_S) * inv_2dy
+        grad_norm = jnp.sqrt(gx * gx + gy * gy)
+        k2 = grad_norm * k2_factor
+        g = _g_theta_vpu(gx, gy, grad_norm, p)
+        if g is None:
+            k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
+            k1_lap = lap_F * k1_factor
+        else:
+            k0 = g * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
+            k1_lap = g * lap_F * k1_factor
+        if p.do_corrector_guess:
+            corr = 1 + k2 * (p.dt * p.L)
+            r0 = p.dt / corr * (k1_lap + k0 - k2 * (Uc - p.Tm + p.dt * lap_U))
+            sv = (p.gamma * k1_factor) * (g / corr if g is not None else 1.0 / corr)
+        else:
+            r0 = p.dt * (k1_lap + k0 - k2 * (Uc - p.Tm))
+            sv = (p.gamma * k1_factor) * g if g is not None else None
+        uterm = p.dt * lap_U
+        return r0, uterm, sv
+
+    return terms
+
+
 def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
                  ghost: bool = False, ghost_x: bool = False):
     f_bc = p.Phi_boundary
     u_bc = p.T_boundary
     phys = _make_physics(p)
+    si = _make_si_terms(p) if mode == "si_prepare" else None
 
     def kernel(*refs):
         # refs: scalars_ref, per-state (Fc, Fn, Fs, Uc, Un, Us),
@@ -318,6 +381,14 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
             F_E, F_W = _shift_x(Fc, f_bc, d_eff)
             U_E, U_W = _shift_x(Uc, u_bc, d_eff)
 
+        if mode == "si_prepare":
+            r0, uterm, sv = si(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W)
+            out_F[:] = r0
+            out_U[:] = uterm
+            if sv is not None:
+                outs[2][:] = sv
+            return
+
         dt_F, dt_U = phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu)
 
         if mode == "rhs":
@@ -356,7 +427,7 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
 
 def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
            with_err: bool = False, ghost: bool = False,
-           ghost_x: bool = False):
+           ghost_x: bool = False, n_out: int = 2):
     """Block specs: center (ty, nx) blocks + (8, nx) halo row-groups.
 
     Halo index maps are in 8-row-block units (ty is a multiple of 8):
@@ -398,10 +469,8 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
                                          memory_space=pltpu.VMEM))
     for _ in range(n_extra):
         in_specs.append(pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM))
-    out_specs = [
-        pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
-        pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
-    ]
+    out_specs = [pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM)
+                 for _ in range(n_out)]
     if with_err:
         # per-program partial maxima, written as broadcast (8, 128) blocks
         err_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
@@ -418,6 +487,7 @@ def _call(p: SimParams, n_states: int, mode: str, interpret: bool,
           ny_local: int = 0, nx_local: int = 0):
     n_extra = 4 if mode == "rk4_combine" else 0
     with_err = mode == "rkm_final"
+    n_out = (3 if si_s_varies(p) else 2) if mode == "si_prepare" else 2
     ny = ny_local or p.ny
     nx = nx_local or p.nx
     ty = _tile_y(ny, nx, n_states + n_extra // 2, 4)
@@ -425,10 +495,10 @@ def _call(p: SimParams, n_states: int, mode: str, interpret: bool,
     # local-shape view of the params for spec construction
     pl_view = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
     in_specs, out_specs = _specs(pl_view, ty, n_states, n_extra, with_err,
-                                 ghost, ghost_x)
+                                 ghost, ghost_x, n_out=n_out)
     kernel = _make_kernel(p, n_states, mode, n_extra, ghost, ghost_x)
     shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
-    out_shape = [shape, shape]
+    out_shape = [shape] * n_out
     if with_err:
         err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
         out_shape += [err_shape, err_shape]
@@ -502,6 +572,28 @@ def rhs_pallas(Fb, Ub, p: SimParams, fu=0.0, dirichlet_value=0.0,
     return blend_rhs_pallas([(Fb, Ub)], [1.0], p, fu=fu,
                             dirichlet_value=dirichlet_value,
                             is_euler=is_euler, interpret=interpret)
+
+
+def si_prepare_pallas(F, U, p: SimParams, dirichlet_value=0.0,
+                      interpret: bool = False):
+    """Fused semi-implicit prepare: ONE HBM pass over (F, U) emitting the
+    delta-form phase residual r0_F, the heat Laplacian term dt*lap(U), and
+    -- only when ``si_s_varies(p)`` -- the per-cell anisotropy coefficient
+    map s (see ``_make_si_terms``).  Returns (r0_F, uterm[, s]).
+
+    Replaces the XLA path's pad + prepare + separate lap(U) sweep
+    (solvers/semi_implicit.py), ~3 full passes -> 1."""
+    return _stage_call([(F, U)], [1.0], p, "si_prepare",
+                       dirichlet_value=dirichlet_value, interpret=interpret)
+
+
+def si_prepare_pallas_sharded(F, U, p: SimParams, axis_y, axis_x=None,
+                              dirichlet_value=0.0, interpret: bool = False):
+    """Sharded twin of ``si_prepare_pallas`` (ghost rows/columns over ICI,
+    same machinery as the sharded RHS stages)."""
+    return _stage_call_sharded([(F, U)], [1.0], p, axis_y, "si_prepare",
+                               dirichlet_value=dirichlet_value,
+                               interpret=interpret, axis_x=axis_x)
 
 
 def _ghost_rows(states, weights, bc: BoundaryType, which: int, axis_name: str,

@@ -52,10 +52,6 @@ def _wants_jacobi(p: SimParams) -> bool:
 
 def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     """One semi-implicit step.  Returns (next_F, next_U, res_F, res_U)."""
-    Fp = topo.pad(F, p.Phi_boundary)
-    Up = topo.pad(U, p.T_boundary)
-    r0_F, s = semi_implicit_prepare(Fp, Up, p)
-
     # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
     # NOTE: the deeper cg_solve_fused variant (direction update folded into
     # the matvec) measured *slower* on the current device (2.49 vs 2.02
@@ -64,16 +60,54 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     from ..ops.rhs import _resolve_backend
     from ..ops.pallas_cg import (aniso_matvec_pAp, aniso_matvec_pAp_sharded,
                                  cross_matvec_pAp, cross_matvec_pAp_sharded)
+    from ..ops.pallas_rhs import (si_prepare_pallas, si_prepare_pallas_sharded,
+                                  si_s_varies)
 
     backend = _resolve_backend(p, topo, 3, ny_local=F.shape[0],
                            nx_local=F.shape[1], for_cg=True)
     if p.differentiable:
         backend = "xla"  # adjoint solves need the differentiable path
 
+    # Prepare stage: one fused pass emitting r0_F, dt*lap(U) and (only when
+    # it varies per cell) s.  The prepare kernel shares the RHS ghost
+    # machinery, so it also fuses on the 2D meshes where the CG matvecs
+    # fall back to XLA.
+    prep_backend = "xla" if p.differentiable else _resolve_backend(
+        p, topo, 1, ny_local=F.shape[0], nx_local=F.shape[1])
+    s_const = not si_s_varies(p)
+    if prep_backend == "pallas":
+        prep = si_prepare_pallas(F, U, p)
+    elif prep_backend == "pallas_sharded":
+        prep = si_prepare_pallas_sharded(F, U, p, topo.axis_y,
+                                         axis_x=topo.axis_x)
+    else:
+        Fp = topo.pad(F, p.Phi_boundary)
+        Up = topo.pad(U, p.T_boundary)
+        r0_F, s_map = semi_implicit_prepare(Fp, Up, p)
+        uterm = p.dt * _lap_from_padded(Up, p)
+        prep = (r0_F, uterm) if s_const else (r0_F, uterm, s_map)
+    if s_const:
+        r0_F, uterm = prep
+        # g == 1 everywhere (S == 0, no corrector guess): s is the scalar
+        # gamma/alpha; the XLA prepare's map holds exactly this value, so
+        # the broadcasted matvec below is bit-identical to the map form
+        s = p.gamma / p.alpha
+    else:
+        r0_F, uterm, s = prep
+
     A_F = AnisotropyMatrix.implicit_phase(p)
     jacobi = _wants_jacobi(p)
     if jacobi or backend == "xla":
         mv_F = None
+    elif s_const:
+        # fold the constant s into the stencil coefficients: the matvec
+        # reads one map less per CG iteration (~25% of its HBM traffic)
+        A_Fc = CrossMatrix(C=1 + A_F.Cm1 * s, X=A_F.X * s, Y=A_F.Y * s,
+                           boundary=p.Phi_boundary)
+        if backend == "pallas":
+            mv_F = lambda v: cross_matvec_pAp(A_Fc, v)
+        else:  # pallas_sharded
+            mv_F = lambda v: cross_matvec_pAp_sharded(A_Fc, v, topo.axis_y)
     elif backend == "pallas":
         mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
     else:  # pallas_sharded
@@ -95,7 +129,7 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     # heat residual in deltas; U_base - U is exactly zero (same array) on
     # the non-corrector path and XLA folds it away
     r0_U = ((U_base - U) + p.L * e_F + p.dt * (1 - p.gamma) * U_base
-            + p.dt * _lap_from_padded(Up, p))
+            + uterm)
 
     A_U = CrossMatrix.implicit_heat(p)
     if backend == "pallas":

@@ -703,3 +703,138 @@ def test_rkm_attempt_matches_staged_oracle(bc, rng):
     assert_match(nU, want_U)
     np.testing.assert_allclose(float(eF), want_eF, rtol=2e-4)
     np.testing.assert_allclose(float(eU), want_eU, rtol=2e-4)
+
+
+class TestSiPrepare:
+    """Fused semi-implicit prepare kernel (r0_F, dt*lap(U)[, s]) vs the XLA
+    oracle `models.allen_cahn.semi_implicit_prepare` (interpret mode)."""
+
+    @staticmethod
+    def _oracle(F, U, p):
+        from bachelors_tpu.core.boundary import pad2
+        from bachelors_tpu.models.allen_cahn import semi_implicit_prepare
+        from bachelors_tpu.solvers.semi_implicit import _lap_from_padded
+
+        Fp = pad2(jnp.asarray(F, jnp.float32), p.Phi_boundary)
+        Up = pad2(jnp.asarray(U, jnp.float32), p.T_boundary)
+        r0, s = semi_implicit_prepare(Fp, Up, p)
+        return r0, p.dt * _lap_from_padded(Up, p), s
+
+    @pytest.mark.parametrize("bc", BCS)
+    @pytest.mark.parametrize("S,guess", [(0.0, False), (0.3, False),
+                                         (0.3, True), (0.0, True)])
+    def test_matches_oracle(self, bc, S, guess, rng):
+        from bachelors_tpu.ops.pallas_rhs import si_prepare_pallas, si_s_varies
+
+        p = params(bc, ny=64, S=S, do_corrector_guess=guess)
+        (F, U), = rand_states(rng, p, 1)
+        want_r0, want_ut, want_s = self._oracle(F, U, p)
+        out = si_prepare_pallas(jnp.asarray(F), jnp.asarray(U), p,
+                                interpret=True)
+        # r0 values are O(dt): compare at absolute scale of the field terms
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want_r0),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want_ut),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        if si_s_varies(p):
+            assert len(out) == 3
+            assert_match(out[2], want_s)
+        else:
+            assert len(out) == 2
+            # the oracle's s map is exactly the constant the solver folds in
+            np.testing.assert_array_equal(np.asarray(want_s),
+                                          np.float32(p.gamma / p.alpha))
+
+    def test_sharded_ghost_rows(self, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import si_prepare_pallas_sharded
+        from bachelors_tpu.parallel.mesh import make_mesh
+
+        p = params(BoundaryType.NEUMANN, ny=64, nx=128, S=0.3,
+                   do_corrector_guess=True)
+        (F, U), = rand_states(rng, p, 1)
+        want = self._oracle(F, U, p)
+        mesh, topo = make_mesh(shards_y=4)
+        run = jax.shard_map(
+            lambda F, U: si_prepare_pallas_sharded(F, U, p, topo.axis_y,
+                                                   interpret=True),
+            mesh=mesh, in_specs=(P("y"), P("y")),
+            out_specs=(P("y"),) * 3, check_vma=False)
+        with jax.set_mesh(mesh):
+            out = run(jnp.asarray(F), jnp.asarray(U))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want[0]),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want[1]),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        assert_match(out[2], want[2])
+
+    def test_sharded_2d_mesh(self, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.ops.pallas_rhs import si_prepare_pallas_sharded
+        from bachelors_tpu.parallel.mesh import make_mesh
+
+        p = params(BoundaryType.PERIODIC, ny=32, nx=256, S=0.3)
+        (F, U), = rand_states(rng, p, 1)
+        want = self._oracle(F, U, p)
+        mesh, topo = make_mesh(shards_y=2, shards_x=2)
+        run = jax.shard_map(
+            lambda F, U: si_prepare_pallas_sharded(
+                F, U, p, topo.axis_y, axis_x=topo.axis_x, interpret=True),
+            mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+            out_specs=(P("y", "x"),) * 3, check_vma=False)
+        with jax.set_mesh(mesh):
+            out = run(jnp.asarray(F), jnp.asarray(U))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want[0]),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want[1]),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        assert_match(out[2], want[2])
+
+    def test_si_step_with_fused_prepare_matches_xla(self, rng):
+        """End-to-end semi-implicit step: fused prepare + constant-s
+        cross-form CG vs the all-XLA path (monkeypatched interpret mode)."""
+        import bachelors_tpu.ops.rhs as rhs_mod
+        import bachelors_tpu.ops.pallas_rhs as prhs
+        import bachelors_tpu.ops.pallas_cg as pcg
+        from bachelors_tpu.parallel.topology import Topology
+        from bachelors_tpu.solvers.semi_implicit import semi_implicit_step_based
+
+        p = params(BoundaryType.NEUMANN, ny=64, S=0.0,
+                   Phi_tolerance=1e-7, T_tolerance=1e-7,
+                   Phi_max_iters=10, T_max_iters=10)
+        (F, U), = rand_states(rng, p, 1)
+        F = jnp.asarray(0.5 + 0.1 * F, jnp.float32)
+        U = jnp.asarray(0.1 * U, jnp.float32)
+        topo = Topology()
+
+        want_F, want_U, res_F, res_U = semi_implicit_step_based(F, U, U, p, topo)
+
+        orig_resolve = rhs_mod._resolve_backend
+        orig_prep = prhs.si_prepare_pallas
+        orig_cross = pcg.cross_matvec_pAp
+        orig_update = pcg.update_xr_rr
+        try:
+            rhs_mod._resolve_backend = lambda *a, **k: "pallas"
+            prhs.si_prepare_pallas = lambda *a, **k: orig_prep(*a, **{**k, "interpret": True})
+            pcg.cross_matvec_pAp = lambda *a, **k: orig_cross(*a, **{**k, "interpret": True})
+            pcg.update_xr_rr = lambda *a, **k: orig_update(*a, **{**k, "interpret": True})
+            got_F, got_U, gres_F, gres_U = semi_implicit_step_based(F, U, U, p, topo)
+        finally:
+            rhs_mod._resolve_backend = orig_resolve
+            prhs.si_prepare_pallas = orig_prep
+            pcg.cross_matvec_pAp = orig_cross
+            pcg.update_xr_rr = orig_update
+
+        assert_match(got_F, want_F, atol=1e-6)
+        assert_match(got_U, want_U, atol=1e-6)
+        # both paths must converge below tolerance, in a similar iteration count
+        assert int(gres_F.iters) <= p.Phi_max_iters
+        assert abs(int(gres_F.iters) - int(res_F.iters)) <= 1
