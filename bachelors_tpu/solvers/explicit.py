@@ -32,6 +32,17 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
 
 EULER_BLOCK_STEPS = 4  # fused steps per HBM pass; measured optimum on TPU
 
+# Whole-integrator fusion engages above these cell counts (measured
+# crossovers on the bench TPU; see RESULTS.md "whole-integrator fusion").
+# RKM: the fused attempt wins at EVERY size -- at small grids the staged
+# path is dominated by the per-iteration kernel dispatches + error-norm
+# reductions inside the retry while_loop (128^2: 0.052 staged vs 0.0063
+# fused ms/step; 512^2: 0.077 vs 0.034; 2048^2: 0.541 vs 0.517).
+# RK4 has no such loop: its staged path is equal-or-faster while the
+# working set stays cache-resident, so fusion starts at 8M cells.
+RKM_FULLSTEP_MIN_CELLS = 0
+RK4_FULLSTEP_MIN_CELLS = 8 * 1024 * 1024
+
 
 def make_euler_pair_stepper(p: SimParams, topo: Topology):
     """state -> (state advanced by EULER_BLOCK_STEPS Euler steps in ONE
@@ -93,7 +104,7 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
 
     backend_full = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
                                     nx_local=F.shape[1])
-    if backend_full == "pallas" and p.N >= 8 * 1024 * 1024:
+    if backend_full == "pallas" and p.N >= RK4_FULLSTEP_MIN_CELLS:
         # whole-step fusion: k1..k4 + combination in ONE HBM pass (the
         # staged path moves ~4 arrays per stage).  Pays only once the
         # working set leaves the on-chip cache (measured: 4096^2 1.47 vs
@@ -167,11 +178,11 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
                                nx_local=F.shape[1])
     fused = backend in ("pallas", "pallas_sharded")
     full = False
-    if backend == "pallas" and p.N >= 1024 * 1024:
-        # whole-attempt fusion pays from ~1024^2 up (measured: 1024^2 127
-        # vs 166 us, 2048^2 0.51 vs 0.54, 4096^2 2.43 vs 5.27 ms/step);
-        # smaller grids are dispatch/while_loop-bound and the staged
-        # kernels win slightly
+    if backend == "pallas" and p.N >= RKM_FULLSTEP_MIN_CELLS:
+        # whole-attempt fusion pays at every size (see the gate constants'
+        # comment; measured 1024^2 127 vs 166 us, 2048^2 0.51 vs 0.54,
+        # 4096^2 2.43 vs 5.27, and 2-8x at <=512^2 where the staged path
+        # is dispatch/reduction-bound inside the retry while_loop)
         from ..ops.pallas_rhs import supports_fullstep
 
         full = supports_fullstep(p)
