@@ -233,6 +233,10 @@ def _update_xr_rr(ny: int, nx: int, interpret: bool, x, r, pv, Ap, alpha):
         out_shape=[jax.ShapeDtypeStruct((ny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((ny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)],
+        # x/r are pointwise-updated per block: writing them in place avoids
+        # the write-allocate penalty of fresh output buffers (RESULTS.md
+        # roofline notes); safe because block i only touches block i
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(alpha, jnp.float32), (1, 1)), x, r, pv, Ap)
     rr = jnp.sum(part.reshape(grid, 8, 128)[:, 0, 0])
