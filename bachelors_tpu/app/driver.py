@@ -17,6 +17,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import os
+import tempfile
 import time
 from typing import Dict, List, Optional
 
@@ -430,10 +431,25 @@ def _init_multiprocess_from_env() -> None:
                    process_id=int(os.environ["BTPU_PID"]))
 
 
+def _default_compile_cache() -> None:
+    """Enable the persistent compilation cache unless the user configured
+    one (first TPU compiles cost 20-150 s through the tunnel's compile
+    service; reruns of the same shapes become near-instant)."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # env var already bound at jax import
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(tempfile.gettempdir(), "jaxcache"))
+    except Exception:  # pragma: no cover - older jax without the option
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import sys
 
     _init_multiprocess_from_env()
+    _default_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     overrides = []
     paths = []

@@ -108,6 +108,54 @@ def run_reduction_benchmark(n_max: int = 2 * 4096 * 4096) -> list:
     return results
 
 
+def run_ensemble_benchmark(mesh_size: int = 256, batches=(1, 4, 16, 64),
+                           steps: int = 200) -> list:
+    """Data-parallel throughput: B independent simulations advanced as one
+    vmapped program (the ensemble axis, `[tpu] ensemble`).
+
+    The reference's only counterpart is running config files sequentially
+    (`main.cpp:244`); here the whole ensemble rides one device, so small
+    grids that underutilize the chip recover near-linear member throughput.
+    Reports member-steps/s for the adaptive RKM solver (the default-config
+    solver) at each batch size.
+    """
+    import numpy as np
+
+    import bachelors_tpu as bt
+    from ..solvers.base import make_stepper
+    from ..solvers.run import advance_n
+
+    p = bt.SimParams(nx=mesh_size, ny=mesh_size, L0=4.0 * mesh_size / 512,
+                     solver=bt.SolverType.EXPLICIT_RK4_ADAPTIVE,
+                     dt=5e-6, S=0.0, dtype="float32", min_dt=1e-9)
+    F, U = bt.make_initial_fields(p, bt.InitialConditions(
+        circle_center=(p.L0 / 2, p.L0 / 2), circle_radius=p.L0 / 80))
+    base = bt.make_state(F, U, p)
+    step = jax.vmap(make_stepper(p))
+
+    results = []
+    small = max(2, steps // 8)
+    for B in batches:
+        st = jax.tree.map(lambda a: jnp.stack([a] * B), base)
+        adv = jax.jit(lambda s, n: advance_n(step, s, n))
+        _sync(adv(st, small).F)
+
+        def run(k):
+            t0 = time.perf_counter()
+            _sync(adv(st, k).F)
+            return time.perf_counter() - t0
+
+        run(small)
+        t = max((run(steps) - run(small)) / (steps - small), 1e-9)
+        r = dict(batch=B, mesh=mesh_size,
+                 member_steps_per_s=B / t,
+                 step_ms=t * 1e3)
+        results.append(r)
+        log.info(f"ensemble B={B} {mesh_size}^2 RKM: {t * 1e3:.4f} ms/step "
+                 f"({B / t:.0f} member-steps/s)")
+    return results
+
+
 def main(argv=None):
     import sys
 

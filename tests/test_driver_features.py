@@ -192,3 +192,36 @@ def test_snapshot_events_within_half_step_not_duplicated(tmp_path, monkeypatch):
     assert iters == sorted(set(iters)), iters
     # the 1.2e-5 target must have advanced past t=1.0e-5 (iter 2 -> 3)
     assert 3 in iters
+
+
+def test_ensemble_benchmark_smoke():
+    """The ensemble-throughput microbench runs on CPU (tiny sizes)."""
+    from bachelors_tpu.bench.microbench import run_ensemble_benchmark
+
+    res = run_ensemble_benchmark(mesh_size=32, batches=(1, 2), steps=4)
+    assert [r["batch"] for r in res] == [1, 2]
+    assert all(r["member_steps_per_s"] > 0 for r in res)
+
+
+def test_default_compile_cache_respects_env(monkeypatch, tmp_path):
+    import jax
+
+    from bachelors_tpu.app.driver import _default_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # env var set -> no override
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+        jax.config.update("jax_compilation_cache_dir", None)
+        _default_compile_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+        # unset -> a default is installed
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        _default_compile_cache()
+        assert jax.config.jax_compilation_cache_dir
+        # user-configured value is left alone
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        _default_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
