@@ -38,6 +38,10 @@ from ..utils.logging import SYSTEM, get_logger
 
 log = get_logger("app")
 
+# jitted advance functions keyed by (params, topology, sinks); see
+# run_simulation -- avoids per-config retracing in multi-config sessions
+_ADVANCER_CACHE: Dict = {}
+
 
 @dataclasses.dataclass
 class RunResult:
@@ -244,22 +248,37 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     # steps (e.g. f32 with a tolerance below the noise floor), and a single
     # unbounded while_loop dispatch can exceed runtime watchdogs
     ADAPTIVE_CHUNK = 50_000
-    _until = advance_until if ensemble == 1 else advance_until_members
-    adv_until = jax.jit(
-        lambda s, t_stop, cap: _until(stepper, s, t_stop, cap),
-        donate_argnums=0)
-    # temporal-blocking fast path: two fused Euler steps per HBM pass when
-    # no stats sink is attached (see solvers/explicit.make_euler_pair_stepper)
-    pair = None
-    if ensemble == 1 and acc is None and not cfg.collect_step_residual:
-        from ..solvers.explicit import make_euler_pair_stepper
 
-        pair = make_euler_pair_stepper(p, topo)
-    adv_n = jax.jit(
-        lambda s, n: advance_n(stepper, s, n, pair_stepper=pair),
-        donate_argnums=0)
+    # The jitted advance functions are cached per (params, topology, sinks):
+    # re-running the same config (benchmark repeats, multi-config sessions)
+    # skips jax re-tracing (~0.5-1 s per config, which would dominate small
+    # workloads).  Mesh runs are excluded (a Mesh is identity-keyed).
+    cache_key = ((p, topo, ensemble, acc is None, cfg.collect_step_residual)
+                 if mesh is None else None)
+    adv = _ADVANCER_CACHE.get(cache_key) if cache_key is not None else None
+    if adv is None:
+        _until = advance_until if ensemble == 1 else advance_until_members
+        # temporal-blocking fast path: fused multi-step Euler per HBM pass
+        # when no stats sink is attached (solvers/explicit.make_euler_pair_stepper)
+        pair = None
+        if ensemble == 1 and acc is None and not cfg.collect_step_residual:
+            from ..solvers.explicit import make_euler_pair_stepper
 
-    jit_collect = {}
+            pair = make_euler_pair_stepper(p, topo)
+        adv = dict(
+            until=jax.jit(lambda s, t_stop, cap: _until(stepper, s, t_stop, cap),
+                          donate_argnums=0),
+            n=jax.jit(lambda s, n: advance_n(stepper, s, n, pair_stepper=pair),
+                      donate_argnums=0),
+            collect={},
+            stepper=stepper,
+        )
+        if cache_key is not None:
+            _ADVANCER_CACHE[cache_key] = adv
+    adv_until = adv["until"]
+    adv_n = adv["n"]
+    jit_collect = adv["collect"]
+    _cached_stepper = adv["stepper"]
 
     def adv_collect(s, n, t_stop):
         # scan length is static: round up to a power of two so the number of
@@ -268,7 +287,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         n = 1 << (max(n, 1) - 1).bit_length()
         if n not in jit_collect:
             jit_collect[n] = jax.jit(
-                lambda st, ts: advance_collect(stepper, st, n, t_stop=ts),
+                lambda st, ts: advance_collect(_cached_stepper, st, n, t_stop=ts),
                 donate_argnums=0)
         return jit_collect[n](s, t_stop)
 
