@@ -8,7 +8,9 @@ directly on device (the reference fills on host and uploads).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 
 from ..core.params import SimParams
@@ -39,7 +41,17 @@ class InitialConditions:
 
 
 def make_initial_fields(p: SimParams, ic: InitialConditions):
-    """Returns (F0, U0) with shape (ny, nx), dtype p.dtype."""
+    """Returns (F0, U0) with shape (ny, nx), dtype p.dtype.
+
+    Jitted with fully-static arguments (both are hashable frozen
+    dataclasses): the ~20 elementwise ops run as ONE dispatch instead of
+    op-by-op round-trips (material over the tunnel's ~25 ms RPC latency),
+    and repeated construction of the same config is cached."""
+    return _make_initial_fields_jit(p, ic)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _make_initial_fields_jit(p: SimParams, ic: InitialConditions):
     dtype = jnp.dtype(p.dtype)
     # cell-center coordinates pos = (i + 0.5)/n * L0  (`main.cpp:101`)
     xs = (jnp.arange(p.nx, dtype=dtype) + 0.5) / p.nx * p.L0
@@ -74,8 +86,6 @@ def make_initial_fields(p: SimParams, ic: InitialConditions):
     F, U = F.astype(dtype), U.astype(dtype)
 
     if ic.noise_T != 0.0 or ic.noise_phi != 0.0:
-        import jax
-
         from ..ops.random import perlin2d_octaves
 
         key = jax.random.PRNGKey(ic.noise_seed)
