@@ -46,8 +46,28 @@ def _lap_from_padded(vp, p: SimParams):
 
 
 def _wants_jacobi(p: SimParams) -> bool:
-    """Jacobi preconditioning pays only when the A_F diagonal varies."""
-    return (p.S != 0.0 or p.do_corrector_guess) and not p.differentiable
+    """Jacobi preconditioning pays only when the A_F diagonal actually
+    varies appreciably.
+
+    The diagonal is 1 + Cm1*s with s in [gamma(1-|S|)/alpha,
+    gamma(1+|S|)/alpha] (anisotropy) and additionally divided by
+    corr = 1 + k2*dt*L in corrector-guess mode (which can halve s near the
+    interface, a genuinely large spread).  For pure anisotropy the spread
+    is ~2|S|*Cm1*gamma/alpha -- a few percent at benchmark settings, where
+    measured: Jacobi saved ZERO iterations while its unfused matvec path
+    cost 23% more wall time than plain CG with the fused aniso kernel
+    (0.95 vs 0.73 ms/step at 2048^2, S=0.25).  So: precondition for
+    corrector-guess, and for anisotropy only past a 10% spread."""
+    if p.differentiable:
+        return False
+    if p.do_corrector_guess:
+        return True
+    if p.S == 0.0:
+        return False
+    Cm1 = 2 * p.dt / (p.dx * p.dx) + 2 * p.dt / (p.dy * p.dy)
+    smid = p.gamma / p.alpha
+    spread = 2 * abs(p.S) * Cm1 * smid / (1 + Cm1 * smid * (1 - abs(p.S)))
+    return spread > 0.10
 
 
 def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
