@@ -470,6 +470,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     _init_multiprocess_from_env()
     _default_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in argv or "-h" in argv:
+        print(
+            "usage: python -m bachelors_tpu [CONFIG.ini ...] "
+            "[--set section.key=value ...]\n\n"
+            "Runs each config sequentially (reference-compatible INI keys; "
+            "see io/config.py).\n"
+            "  --set simulation.solver=explicit-rk4   override any key\n"
+            "  [tpu] section: dtype, backend, shards_y/shards_x, ensemble, "
+            "multihost\n"
+            "Multi-process launcher: python -m bachelors_tpu.launch -n N ...\n"
+            "Benchmark ladder:       python -m bachelors_tpu.bench.sweep "
+            "generate|run DIR")
+        return 0
     overrides = []
     paths = []
     i = 0

@@ -146,7 +146,15 @@ def run_ensemble_benchmark(mesh_size: int = 256, batches=(1, 4, 16, 64),
             return time.perf_counter() - t0
 
         run(small)
-        t = max((run(steps) - run(small)) / (steps - small), 1e-9)
+        t = (run(steps) - run(small)) / (steps - small)
+        if t <= 1e-7:
+            # below the dispatch-jitter noise floor of the tunnel; don't
+            # report a bogus throughput
+            log.warn(f"ensemble B={B} {mesh_size}^2: below measurement "
+                     "noise floor, increase `steps`")
+            results.append(dict(batch=B, mesh=mesh_size,
+                                member_steps_per_s=None, step_ms=None))
+            continue
         r = dict(batch=B, mesh=mesh_size,
                  member_steps_per_s=B / t,
                  step_ms=t * 1e3)

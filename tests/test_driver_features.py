@@ -200,7 +200,9 @@ def test_ensemble_benchmark_smoke():
 
     res = run_ensemble_benchmark(mesh_size=32, batches=(1, 2), steps=4)
     assert [r["batch"] for r in res] == [1, 2]
-    assert all(r["member_steps_per_s"] > 0 for r in res)
+    # tiny runs may fall below the noise floor (reported as None)
+    assert all(r["member_steps_per_s"] is None or r["member_steps_per_s"] > 0
+               for r in res)
 
 
 def test_default_compile_cache_respects_env(monkeypatch, tmp_path):
