@@ -427,7 +427,7 @@ def _make_kernel(p: SimParams, n_states: int, mode: str, n_extra: int,
 
 def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
            with_err: bool = False, ghost: bool = False,
-           ghost_x: bool = False, n_out: int = 2):
+           ghost_x: bool = False, n_out: int = 2, n_scal: int = 0):
     """Block specs: center (ty, nx) blocks + (8, nx) halo row-groups.
 
     Halo index maps are in 8-row-block units (ty is a multiple of 8):
@@ -447,7 +447,7 @@ def _specs(p: SimParams, ty: int, n_states: int, n_extra: int = 0,
     f_north, f_south = make_halo_row_maps(ny, ty, p.Phi_boundary)
     u_north, u_south = make_halo_row_maps(ny, ty, p.T_boundary)
 
-    in_specs = [pl.BlockSpec((1, n_states + 3), lambda i: (0, 0),
+    in_specs = [pl.BlockSpec((1, n_scal or (n_states + 3)), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)]
     for _ in range(n_states):
         in_specs += [
@@ -540,16 +540,18 @@ def blend_rhs_pallas(
     return out[0], out[1]
 
 
-def _scalar_row(weights, n, dirichlet_value, fu, tau):
+def _scalar_row(weights, n, dirichlet_value, fu, tau, extra=()):
     if isinstance(weights[0], (int, float)) and float(weights[0]) != 1.0:
         raise ValueError("first blend weight must be 1.0 (base state); every "
                          "integrator stage has this form")
-    w = jnp.zeros((1, n + 3), jnp.float32)
+    w = jnp.zeros((1, n + 3 + len(extra)), jnp.float32)
     for k, wk in enumerate(weights):
         w = w.at[0, k].set(jnp.asarray(wk, jnp.float32))
     w = w.at[0, n].set(jnp.asarray(dirichlet_value, jnp.float32))
     w = w.at[0, n + 1].set(jnp.asarray(fu, jnp.float32))
     w = w.at[0, n + 2].set(jnp.asarray(tau, jnp.float32))
+    for j, v in enumerate(extra):
+        w = w.at[0, n + 3 + j].set(jnp.asarray(v, jnp.float32))
     return w
 
 
@@ -842,7 +844,29 @@ def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):
     return kernel
 
 
-def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False):
+def _ghost_slabs(F, U, axis_name: str):
+    """Exchange full 8-row edge SLABS of both fields over ICI (one ppermute
+    pair per field per STEP -- the whole-integrator kernels recompute every
+    stage from x in VMEM, so they need the neighbor's x at depth <= 8, not
+    per-stage ghost rows).  Returns (gF_lo, gF_hi, gU_lo, gU_hi), each
+    (8, nx): the predecessor's last 8 rows / successor's first 8 rows.
+    Global-edge BC handling happens IN-KERNEL (the per-stage ghost refix),
+    so no BC correction is applied here."""
+    from jax import lax
+
+    n = lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    out = []
+    for A in (F, U):
+        out.append(lax.ppermute(A[-8:, :], axis_name, fwd))   # from predecessor
+        out.append(lax.ppermute(A[:8, :], axis_name, bwd))    # from successor
+    gF_lo, gF_hi, gU_lo, gU_hi = out[0], out[1], out[2], out[3]
+    return gF_lo, gF_hi, gU_lo, gU_hi
+
+
+def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False,
+                          ghost: bool = False):
     """One FULL integrator step (or adaptive attempt) per HBM pass.
 
     Generalizes the multi-step Euler kernel's extended-block machinery to
@@ -873,18 +897,51 @@ def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False):
     phys = _make_physics(p)
 
     def kernel(*refs):
-        scal, Fc, Fn, Fs, Uc, Un, Us = refs[:7]
-        outs = refs[7:]
+        if ghost:
+            (scal, Fc, Fn, Fs, Uc, Un, Us,
+             gF_lo, gF_hi, gU_lo, gU_hi) = refs[:11]
+            outs = refs[11:]
+        else:
+            scal, Fc, Fn, Fs, Uc, Un, Us = refs[:7]
+            outs = refs[7:]
         d = scal[0, 1]
         fu = scal[0, 2]
         tau = scal[0, 3]
+        if ghost:
+            # whether THIS shard sits at the global domain edges (scalars
+            # fed by the caller from lax.axis_index)
+            shard_first = scal[0, 4] > 0.5
+            shard_last = scal[0, 5] > 0.5
         extF = jnp.concatenate([Fs[:], Fc[:], Fn[:]], axis=0)
         extU = jnp.concatenate([Us[:], Uc[:], Un[:]], axis=0)
         tye = extF.shape[0]
 
+        if ghost:
+            # Splice the neighbor shard's true 8-row slabs at the shard-edge
+            # programs (the clamped/wrapped halo maps land on same-shard
+            # rows there, which are wrong on a mesh).  Interior programs
+            # already read true same-shard rows.  Stage recomputation then
+            # reproduces the neighbor's stage values to shrinking depth:
+            # stage k reads depth k <= 5 < 8.  At GLOBAL edges the
+            # per-stage ghost refix below overwrites these rows anyway.
+            def splice(ext, g_lo, g_hi):
+                i = pl.program_id(0)
+                n = pl.num_programs(0)
+                ext = jnp.where(i == 0,
+                                jnp.concatenate([g_lo[:], ext[8:]], axis=0),
+                                ext)
+                ext = jnp.where(i == n - 1,
+                                jnp.concatenate([ext[:tye - 8], g_hi[:]],
+                                                axis=0),
+                                ext)
+                return ext
+
+            extF = splice(extF, gF_lo, gF_hi)
+            extU = splice(extU, gU_lo, gU_hi)
+
         def fix(ext, bc, dv):
             if bc == BoundaryType.PERIODIC:
-                return ext
+                return ext  # (sharded: the ring-ppermuted slabs ARE the wrap)
             i = pl.program_id(0)
             n = pl.num_programs(0)
             rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, dimension=0)
@@ -893,9 +950,15 @@ def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False):
             if bc == BoundaryType.DIRICHLET:
                 lo = 2 * dv - lo
                 hi = 2 * dv - hi
-            ext = jnp.where(jnp.logical_and(rows < 8, i == 0), lo, ext)
-            ext = jnp.where(jnp.logical_and(rows >= tye - 8, i == n - 1),
-                            hi, ext)
+            lo_mask = jnp.logical_and(rows < 8, i == 0)
+            hi_mask = jnp.logical_and(rows >= tye - 8, i == n - 1)
+            if ghost:
+                # BC images only at the global domain edges; interior shard
+                # seams keep the spliced neighbor rows
+                lo_mask = jnp.logical_and(lo_mask, shard_first)
+                hi_mask = jnp.logical_and(hi_mask, shard_last)
+            ext = jnp.where(lo_mask, lo, ext)
+            ext = jnp.where(hi_mask, hi, ext)
             return ext
 
         def rnd(a):
@@ -965,8 +1028,12 @@ def supports_fullstep(p: SimParams) -> bool:
 
 
 def _fullstep_tile(p: SimParams) -> int:
+    return _fullstep_tile_local(p.ny, p.nx)
+
+
+def _fullstep_tile_local(ny: int, nx: int) -> int:
     # the stage chain holds ~5 live field pairs on (ty+16)-row blocks
-    return min(_tile_y(p.ny, p.nx, 6, 4, budget=_EULER2_BUDGET), 256)
+    return min(_tile_y(ny, nx, 6, 4, budget=_EULER2_BUDGET), 256)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "scheme", "interpret"))
@@ -1015,6 +1082,94 @@ def rkm_attempt_pallas(F, U, tau, p: SimParams, fu=0.0, dirichlet_value=0.0,
     """Entire Merson attempt (k1..k5 + update + error maxima) in one fused
     pass.  Returns (next_F, next_U, emax_F, emax_U)."""
     out = _fullstep_call(p, "rkm", interpret, F, U, tau, fu, dirichlet_value)
+    next_F, next_U, err_F, err_U = out
+    return next_F, next_U, jnp.max(err_F), jnp.max(err_U)
+
+
+def supports_fullstep_sharded(p: SimParams, ny_local: int,
+                              nx_local: int = 0) -> bool:
+    """Ghost-slab whole-integrator kernel feasibility on a y-sharded local
+    shard (x must be unsharded: the stage chain would need 5-deep ghost
+    COLUMNS, which the lane dimension does not accommodate)."""
+    nx_local = nx_local or p.nx
+    if not supports_sharded(p, ny_local, 3, nx_local=nx_local):
+        return False
+    return _fullstep_tile_local(ny_local, nx_local) >= 8
+
+
+@functools.partial(jax.jit, static_argnames=("p", "scheme", "interpret",
+                                             "ny_local", "nx_local"))
+def _fullstep_call_sharded(p: SimParams, scheme: str, interpret: bool,
+                           F, U, gF_lo, gF_hi, gU_lo, gU_hi,
+                           tau, fu, dirichlet_value, first, last,
+                           ny_local: int = 0, nx_local: int = 0):
+    ny, nx = ny_local, nx_local
+    ty = _fullstep_tile_local(ny, nx)
+    grid = ny // ty
+    w = _scalar_row([1.0], 1, dirichlet_value, fu, tau, extra=(first, last))
+    pl_view = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
+    in_specs, out_specs = _specs(pl_view, ty, 1, with_err=(scheme == "rkm"),
+                                 ghost=True, n_scal=6)
+    kernel = _make_fullstep_kernel(p, scheme, interpret, ghost=True)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    out_shape = [shape, shape]
+    if scheme == "rkm":
+        err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
+        out_shape += [err_shape, err_shape]
+    n_stages = 4 if scheme == "rk4" else 5
+    flops_per_cell = n_stages * (40 + (60 if p.S != 0.0 else 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * ny * nx,
+            bytes_accessed=4 * ny * nx * 4,
+            transcendentals=n_stages * (2 if p.S != 0.0 else 1) * ny * nx,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w, F, F, F, U, U, U, gF_lo, gF_hi, gU_lo, gU_hi)
+    return tuple(out)
+
+
+def _edge_flags(axis_y: str):
+    from jax import lax
+
+    idx = lax.axis_index(axis_y)
+    n = lax.axis_size(axis_y)
+    return ((idx == 0).astype(jnp.float32),
+            (idx == n - 1).astype(jnp.float32))
+
+
+def rk4_full_pallas_sharded(F, U, p: SimParams, axis_y, fu=0.0,
+                            dirichlet_value=0.0, interpret: bool = False):
+    """Entire RK4 step in one fused pass per shard: ONE 8-row ghost-slab
+    exchange per field per STEP (vs 4 ppermute pairs per staged step) and
+    no k stage ever in HBM."""
+    g = _ghost_slabs(F, U, axis_y)
+    first, last = _edge_flags(axis_y)
+    ny_local, nx_local = F.shape
+    out = _fullstep_call_sharded(p, "rk4", interpret, F, U, *g, 0.0, fu,
+                                 dirichlet_value, first, last,
+                                 ny_local=ny_local, nx_local=nx_local)
+    return out[0], out[1]
+
+
+def rkm_attempt_pallas_sharded(F, U, tau, p: SimParams, axis_y, fu=0.0,
+                               dirichlet_value=0.0, interpret: bool = False):
+    """Entire Merson attempt per shard (k1..k5 + update + error maxima) with
+    one ghost-slab exchange.  Returns (next_F, next_U, emax_F, emax_U) with
+    SHARD-LOCAL maxima; the caller pmaxes them."""
+    g = _ghost_slabs(F, U, axis_y)
+    first, last = _edge_flags(axis_y)
+    ny_local, nx_local = F.shape
+    out = _fullstep_call_sharded(p, "rkm", interpret, F, U, *g, tau, fu,
+                                 dirichlet_value, first, last,
+                                 ny_local=ny_local, nx_local=nx_local)
     next_F, next_U, err_F, err_U = out
     return next_F, next_U, jnp.max(err_F), jnp.max(err_U)
 

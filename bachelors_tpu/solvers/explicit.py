@@ -104,6 +104,7 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
 
     backend_full = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
                                     nx_local=F.shape[1])
+    local_cells = F.shape[0] * F.shape[1]
     if backend_full == "pallas" and p.N >= RK4_FULLSTEP_MIN_CELLS:
         # whole-step fusion: k1..k4 + combination in ONE HBM pass (the
         # staged path moves ~4 arrays per stage).  Pays only once the
@@ -114,6 +115,16 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
 
         if supports_fullstep(p):
             return rk4_full_pallas(F, U, p, fu)
+    if (backend_full == "pallas_sharded" and topo.axis_x is None
+            and local_cells >= RK4_FULLSTEP_MIN_CELLS):
+        # sharded twin (same per-chip cache crossover, judged on the LOCAL
+        # working set): one 8-row ghost-slab exchange per step instead of
+        # one ppermute pair per field per stage
+        from ..ops.pallas_rhs import (rk4_full_pallas_sharded,
+                                      supports_fullstep_sharded)
+
+        if supports_fullstep_sharded(p, F.shape[0], F.shape[1]):
+            return rk4_full_pallas_sharded(F, U, p, topo.axis_y, fu)
 
     dt = p.dt
     one = 1.0
@@ -178,6 +189,7 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
                                nx_local=F.shape[1])
     fused = backend in ("pallas", "pallas_sharded")
     full = False
+    full_sharded = False
     if backend == "pallas" and p.N >= RKM_FULLSTEP_MIN_CELLS:
         # whole-attempt fusion pays at every size (see the gate constants'
         # comment; measured 1024^2 127 vs 166 us, 2048^2 0.51 vs 0.54,
@@ -186,6 +198,14 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         from ..ops.pallas_rhs import supports_fullstep
 
         full = supports_fullstep(p)
+    elif backend == "pallas_sharded" and topo.axis_x is None:
+        # sharded whole-attempt fusion: one 8-row ghost-slab exchange per
+        # attempt (vs one ppermute pair per field per stage) + the same
+        # in-VMEM stage chain per shard
+        from ..ops.pallas_rhs import supports_fullstep_sharded
+
+        full_sharded = supports_fullstep_sharded(p, F.shape[0], F.shape[1])
+        full = full_sharded
 
     if not full:
         # k1 does not depend on tau: computed once outside the retry loop
@@ -204,6 +224,14 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         separately (still on-device, unlike the reference's per-iteration
         host readback, `simulation.cu:427-435`).
         """
+        if full_sharded:
+            from ..ops.pallas_rhs import rkm_attempt_pallas_sharded
+
+            nF, nU, emax_F, emax_U = rkm_attempt_pallas_sharded(
+                F, U, tau, p, topo.axis_y, fu)
+            emax_F = topo.allmax(emax_F)
+            emax_U = topo.allmax(emax_U)
+            return nF, nU, tau / 3 * emax_F, tau / 3 * emax_U
         if full:
             from ..ops.pallas_rhs import rkm_attempt_pallas
 

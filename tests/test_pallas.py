@@ -838,3 +838,88 @@ class TestSiPrepare:
         # both paths must converge below tolerance, in a similar iteration count
         assert int(gres_F.iters) <= p.Phi_max_iters
         assert abs(int(gres_F.iters) - int(res_F.iters)) <= 1
+
+
+class TestShardedFullstep:
+    """Whole-integrator fusion on a y-sharded mesh: 8-row ghost SLABS carry
+    the neighbor's x once per step; the stage chain recomputes in VMEM
+    (interpret mode, CPU mesh, vs the single-device staged oracle)."""
+
+    @staticmethod
+    def _mesh4():
+        import jax
+        from bachelors_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        return make_mesh(shards_y=4)
+
+    @pytest.mark.parametrize("bc", BCS)
+    def test_rk4_full_sharded(self, bc, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh, topo = self._mesh4()
+        from bachelors_tpu.ops.pallas_rhs import (rk4_full_pallas_sharded,
+                                                  supports_fullstep_sharded)
+        from bachelors_tpu.parallel.topology import Topology
+        from bachelors_tpu.solvers.explicit import rk4_step
+
+        p = params(bc, ny=64, nx=128, S=0.3)
+        assert supports_fullstep_sharded(p, p.ny // 4, p.nx)
+        (F, U), = rand_states(rng, p, 1)
+        run = jax.shard_map(
+            lambda F, U: rk4_full_pallas_sharded(F, U, p, topo.axis_y,
+                                                 fu=0.02, interpret=True),
+            mesh=mesh, in_specs=(P("y"), P("y")),
+            out_specs=(P("y"), P("y")), check_vma=False)
+        with jax.set_mesh(mesh):
+            gF, gU = run(jnp.asarray(F), jnp.asarray(U))
+        wF, wU = rk4_step(jnp.asarray(F, jnp.float32),
+                          jnp.asarray(U, jnp.float32), p, Topology(), fu=0.02)
+        assert_match(gF, wF)
+        assert_match(gU, wU)
+
+    @pytest.mark.parametrize("bc", BCS)
+    def test_rkm_attempt_sharded(self, bc, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh, topo = self._mesh4()
+        from bachelors_tpu.ops.pallas_rhs import rkm_attempt_pallas_sharded
+        from bachelors_tpu.ops.rhs import eval_rhs
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(bc, ny=64, nx=128, S=0.3)
+        (F, U), = rand_states(rng, p, 1)
+        F = jnp.asarray(F, jnp.float32)
+        U = jnp.asarray(U, jnp.float32)
+        tau = 3.7e-6
+
+        run = jax.shard_map(
+            lambda F, U: rkm_attempt_pallas_sharded(F, U, tau, p, topo.axis_y,
+                                                    fu=0.03, interpret=True),
+            mesh=mesh, in_specs=(P("y"), P("y")),
+            out_specs=(P("y"), P("y"), P(), P()), check_vma=False)
+        with jax.set_mesh(mesh):
+            nF, nU, eF, eU = run(F, U)
+
+        topo0 = Topology()
+        one = 1.0
+        k1 = eval_rhs([(F, U)], [one], p, topo0, 0.03)
+        k2 = eval_rhs([(F, U), k1], [one, tau / 3], p, topo0, 0.03)
+        k3 = eval_rhs([(F, U), k1, k2], [one, tau / 6, tau / 6], p, topo0, 0.03)
+        k4 = eval_rhs([(F, U), k1, k3], [one, tau / 8, 3 * tau / 8], p, topo0, 0.03)
+        k5 = eval_rhs([(F, U), k1, k3, k4], [one, tau / 2, -3 * tau / 2, 2 * tau],
+                      p, topo0, 0.03)
+        want_F = F + tau / 6 * (k1[0] + 4 * k4[0] + k5[0])
+        want_U = U + tau / 6 * (k1[1] + 4 * k4[1] + k5[1])
+        want_eF = float(jnp.max(jnp.abs(0.2 * k1[0] - 0.9 * k3[0] + 0.8 * k4[0] - 0.1 * k5[0])))
+        want_eU = float(jnp.max(jnp.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * k5[1])))
+
+        assert_match(nF, want_F)
+        assert_match(nU, want_U)
+        # shard-local maxima pmax to the global values; the sharded runner
+        # applies topo.allmax -- emulate it here by maxing the replicated out
+        np.testing.assert_allclose(float(jnp.max(eF)), want_eF, rtol=2e-4)
+        np.testing.assert_allclose(float(jnp.max(eU)), want_eU, rtol=2e-4)
