@@ -264,7 +264,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         if ensemble == 1 and acc is None and not cfg.collect_step_residual:
             from ..solvers.explicit import make_euler_pair_stepper
 
-            pair = make_euler_pair_stepper(p, topo)
+            pair = make_euler_pair_stepper(p, topo, mesh=mesh)
         adv = dict(
             until=jax.jit(lambda s, t_stop, cap: _until(stepper, s, t_stop, cap),
                           donate_argnums=0),

@@ -761,7 +761,8 @@ def supports_sharded(p: SimParams, ny_local: int, n_states: int = 4,
     return _tile_y(ny_local, nx_local, n_states, 4) >= 8
 
 
-def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):
+def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2,
+                        ghost: bool = False):
     """Fused T consecutive Euler steps per HBM pass (temporal blocking).
 
     The (8, nx) halo row-groups already carry enough depth for a radius-T
@@ -790,18 +791,44 @@ def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):
     u_bc = p.T_boundary
     phys = _make_physics(p)
 
-    def kernel(scal, Fc, Fn, Fs, Uc, Un, Us, out_F, out_U):
+    def kernel(*refs):
+        if ghost:
+            (scal, Fc, Fn, Fs, Uc, Un, Us,
+             gF_lo, gF_hi, gU_lo, gU_hi, out_F, out_U) = refs
+            shard_first = scal[0, 4] > 0.5
+            shard_last = scal[0, 5] > 0.5
+        else:
+            scal, Fc, Fn, Fs, Uc, Un, Us, out_F, out_U = refs
         d_eff = scal[0, 1]
         fu = scal[0, 2]
         extF = jnp.concatenate([Fs[:], Fc[:], Fn[:]], axis=0)
         extU = jnp.concatenate([Us[:], Uc[:], Un[:]], axis=0)
         tye = extF.shape[0]  # ty + 16
 
+        if ghost:
+            # see _make_fullstep_kernel: the neighbor shard's true 8-row
+            # slabs are spliced at shard-edge programs; T <= 7 steps keep
+            # reads within the valid (8 - step) depth
+            def splice(ext, g_lo, g_hi):
+                i = pl.program_id(0)
+                n = pl.num_programs(0)
+                ext = jnp.where(i == 0,
+                                jnp.concatenate([g_lo[:], ext[8:]], axis=0),
+                                ext)
+                ext = jnp.where(i == n - 1,
+                                jnp.concatenate([ext[:tye - 8], g_hi[:]],
+                                                axis=0),
+                                ext)
+                return ext
+
+            extF = splice(extF, gF_lo, gF_hi)
+            extU = splice(extU, gU_lo, gU_hi)
+
         def fix(ext, bc):
             # splice the true ghost rows at the global edges (the clamped
             # halo maps land on in-range rows there)
             if bc == BoundaryType.PERIODIC:
-                return ext  # wrap maps already carry the true rows
+                return ext  # wrap maps (or ring-ppermuted slabs) are true
             i = pl.program_id(0)
             n = pl.num_programs(0)
             rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, dimension=0)
@@ -810,9 +837,13 @@ def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2):
             if bc == BoundaryType.DIRICHLET:
                 lo = 2 * d_eff - lo
                 hi = 2 * d_eff - hi
-            ext = jnp.where(jnp.logical_and(rows < 8, i == 0), lo, ext)
-            ext = jnp.where(jnp.logical_and(rows >= tye - 8, i == n - 1),
-                            hi, ext)
+            lo_mask = jnp.logical_and(rows < 8, i == 0)
+            hi_mask = jnp.logical_and(rows >= tye - 8, i == n - 1)
+            if ghost:
+                lo_mask = jnp.logical_and(lo_mask, shard_first)
+                hi_mask = jnp.logical_and(hi_mask, shard_last)
+            ext = jnp.where(lo_mask, lo, ext)
+            ext = jnp.where(hi_mask, hi, ext)
             return ext
 
         def euler_ext(eF, eU):
@@ -1213,6 +1244,59 @@ def euler2_pallas(F, U, p: SimParams, fu=0.0, dirichlet_value=0.0,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(w, F, F, F, U, U, U)
     return out[0], out[1]
+
+
+def supports_euler2_sharded(p: SimParams, ny_local: int,
+                            nx_local: int = 0) -> bool:
+    """Ghost-slab multi-step Euler feasibility on a y-sharded shard."""
+    nx_local = nx_local or p.nx
+    return supports_sharded(p, ny_local, 3, nx_local=nx_local)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret", "T",
+                                             "ny_local", "nx_local"))
+def _euler2_call_sharded(p: SimParams, interpret: bool, T: int,
+                         F, U, gF_lo, gF_hi, gU_lo, gU_hi,
+                         fu, dirichlet_value, first, last,
+                         ny_local: int = 0, nx_local: int = 0):
+    ny, nx = ny_local, nx_local
+    ty = min(_tile_y(ny, nx, 3, 4, budget=_EULER2_BUDGET), 256)
+    grid = ny // ty
+    w = _scalar_row([1.0], 1, dirichlet_value, fu, 0.0, extra=(first, last))
+    pl_view = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
+    in_specs, out_specs = _specs(pl_view, ty, 1, ghost=True, n_scal=6)
+    kernel = _make_euler2_kernel(p, interpret, T, ghost=True)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    flops_per_cell = T * (40 + (60 if p.S != 0.0 else 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[shape, shape],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * ny * nx,
+            bytes_accessed=4 * ny * nx * 4,
+            transcendentals=(T * 2 * ny * nx if p.S != 0.0 else T * ny * nx),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(w, F, F, F, U, U, U, gF_lo, gF_hi, gU_lo, gU_hi)
+    return out[0], out[1]
+
+
+def euler2_pallas_sharded(F, U, p: SimParams, axis_y, fu=0.0,
+                          dirichlet_value=0.0, interpret: bool = False,
+                          T: int = 2):
+    """T fused Euler steps per shard with ONE 8-row ghost-slab exchange
+    (the sharded twin of ``euler2_pallas``; T <= 7)."""
+    g = _ghost_slabs(F, U, axis_y)
+    first, last = _edge_flags(axis_y)
+    ny_local, nx_local = F.shape
+    return _euler2_call_sharded(p, interpret, T, F, U, *g, fu,
+                                dirichlet_value, first, last,
+                                ny_local=ny_local, nx_local=nx_local)
 
 
 def rk4_final_stage_pallas(x, k1, k2, k3, p: SimParams, fu=0.0,

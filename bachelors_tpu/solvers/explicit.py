@@ -44,7 +44,7 @@ RKM_FULLSTEP_MIN_CELLS = 0
 RK4_FULLSTEP_MIN_CELLS = 8 * 1024 * 1024
 
 
-def make_euler_pair_stepper(p: SimParams, topo: Topology):
+def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
     """state -> (state advanced by EULER_BLOCK_STEPS Euler steps in ONE
     fused HBM pass; temporal blocking), or ``None`` when inapplicable.
     The paired function exposes ``.block_steps`` for the loop math.
@@ -53,8 +53,10 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology):
     ``solvers.run.advance_n`` and the driver's no-stats fast path.  Gated
     off for: non-Euler solvers, exact-solution forcing (fu is
     time-dependent), stats/step-residual collection (pairs emit none), the
-    corrector loop, sharded topologies (the ghost-row variant would need
-    2-deep halos), and configs the fused kernel does not tile.
+    corrector loop, and configs the fused kernel does not tile.  On
+    y-sharded meshes (pass ``mesh``) the ghost-slab variant engages -- one
+    8-row slab exchange per T steps; x-sharded/ensemble topologies fall
+    back to single steps.
     """
     from ..core.params import SolverType
 
@@ -64,9 +66,49 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology):
         return None
     if p.do_corrector_loop and p.corrector_max_iters > 0:
         return None
-    if topo.is_sharded:
-        return None
     from ..ops.rhs import _resolve_backend
+
+    T = EULER_BLOCK_STEPS
+
+    if topo.is_sharded:
+        if mesh is None or topo.axis_x is not None or topo.axis_batch:
+            return None
+        from jax.sharding import PartitionSpec  # noqa: F401 (doc pointer)
+
+        from ..ops.pallas_rhs import (euler2_pallas_sharded,
+                                      supports_euler2_sharded)
+        from ..parallel.sharded import _state_specs
+
+        n_y = int(mesh.shape[topo.axis_y])
+        ny_local = p.ny // n_y
+        try:
+            backend = _resolve_backend(p, topo, 1, ny_local=ny_local,
+                                       nx_local=p.nx)
+        except ValueError:
+            return None
+        if backend != "pallas_sharded":
+            return None
+        if not supports_euler2_sharded(p, ny_local, p.nx):
+            return None
+        local_cells = ny_local * p.nx
+        if 2 * 1024 * 1024 < local_cells < 10 * 1024 * 1024:
+            return None  # per-chip cache window, see below
+
+        import jax
+
+        def pair_inner(state):
+            F2, U2 = euler2_pallas_sharded(state.F, state.U, p, topo.axis_y,
+                                           T=T)
+            t_next = (state.iter.astype(state.t.dtype) + T) * jnp.asarray(
+                p.dt, state.t.dtype)
+            return state.replace(F=F2, U=U2, t=t_next, iter=state.iter + T)
+
+        specs = _state_specs(topo)
+        pair = jax.shard_map(pair_inner, mesh=mesh, in_specs=(specs,),
+                             out_specs=specs, check_vma=False)
+        pair.block_steps = T
+        return pair
+
     from ..ops.pallas_rhs import euler2_pallas, supports_euler2
 
     try:
@@ -82,8 +124,6 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology):
         # blocking only adds halo recompute (single 0.069 vs pair 0.082
         # ms/step); above it the pair path wins ~2x (RESULTS.md)
         return None
-
-    T = EULER_BLOCK_STEPS
 
     def pair(state):
         F2, U2 = euler2_pallas(state.F, state.U, p, T=T)

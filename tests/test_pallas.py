@@ -923,3 +923,31 @@ class TestShardedFullstep:
         # applies topo.allmax -- emulate it here by maxing the replicated out
         np.testing.assert_allclose(float(jnp.max(eF)), want_eF, rtol=2e-4)
         np.testing.assert_allclose(float(jnp.max(eU)), want_eU, rtol=2e-4)
+
+    @pytest.mark.parametrize("bc", BCS)
+    def test_euler2_sharded(self, bc, rng):
+        """Ghost-slab temporal blocking == T sequential fused Euler steps."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh, topo = self._mesh4()
+        from bachelors_tpu.ops.pallas_rhs import (blend_rhs_pallas,
+                                                  euler2_pallas_sharded)
+
+        p = params(bc, ny=64, nx=128, S=0.25, m0=6.0)
+        (F, U), = rand_states(rng, p, 1)
+        T = 4
+        run = jax.shard_map(
+            lambda F, U: euler2_pallas_sharded(F, U, p, topo.axis_y,
+                                               interpret=True, T=T),
+            mesh=mesh, in_specs=(P("y"), P("y")),
+            out_specs=(P("y"), P("y")), check_vma=False)
+        with jax.set_mesh(mesh):
+            gF, gU = run(jnp.asarray(F), jnp.asarray(U))
+
+        wF, wU = jnp.asarray(F, jnp.float32), jnp.asarray(U, jnp.float32)
+        for _ in range(T):
+            wF, wU = blend_rhs_pallas([(wF, wU)], [1.0], p, is_euler=True,
+                                      interpret=True)
+        assert_match(gF, wF)
+        assert_match(gU, wU)
