@@ -104,8 +104,12 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
             return state.replace(F=F2, U=U2, t=t_next, iter=state.iter + T)
 
         specs = _state_specs(topo)
-        pair = jax.shard_map(pair_inner, mesh=mesh, in_specs=(specs,),
-                             out_specs=specs, check_vma=False)
+        shmapped = jax.shard_map(pair_inner, mesh=mesh, in_specs=(specs,),
+                                 out_specs=specs, check_vma=False)
+
+        def pair(state):
+            return shmapped(state)
+
         pair.block_steps = T
         return pair
 
