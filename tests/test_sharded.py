@@ -237,3 +237,53 @@ def test_multihost_driver_launcher(tmp_path, monkeypatch):
     assert b.iter == a.iter
     np.testing.assert_allclose(b.maps["F"], a.maps["F"], rtol=0, atol=1e-6)
     np.testing.assert_allclose(b.maps["U"], a.maps["U"], rtol=0, atol=1e-6)
+
+
+def test_sharded_euler_pair_stepper(monkeypatch, rng=None):
+    """The ghost-slab temporal-blocking pair stepper builds on y-meshes and
+    advances exactly like T single steps (interpret mode, forced backend)."""
+    import numpy as np
+
+    import bachelors_tpu as bt
+    import bachelors_tpu.ops.pallas_rhs as prhs
+    from bachelors_tpu.parallel.mesh import make_mesh, shard_state
+    from bachelors_tpu.parallel.topology import Topology
+    from bachelors_tpu.solvers.explicit import make_euler_pair_stepper
+    from bachelors_tpu.solvers.run import advance_n
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    mesh, topo = make_mesh(shards_y=4)
+    p = bt.SimParams(nx=128, ny=64, L0=4.0, dt=5e-6, S=0.0,
+                     solver=bt.SolverType.EXPLICIT_EULER,
+                     dtype="float32", backend="pallas")
+
+    orig = prhs.euler2_pallas_sharded
+    monkeypatch.setattr(
+        prhs, "euler2_pallas_sharded",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    pair = make_euler_pair_stepper(p, topo, mesh=mesh)
+    assert pair is not None and pair.block_steps >= 2
+
+    # x-sharded and ensemble topologies must decline
+    mesh2, topo2 = make_mesh(shards_y=2, shards_x=2)
+    assert make_euler_pair_stepper(p, topo2, mesh=mesh2) is None
+
+    F, U = bt.make_initial_fields(p, bt.InitialConditions(
+        circle_center=(2.0, 2.0), circle_radius=0.4, circle_fade=4.0))
+    st = bt.make_state(F, U, p)
+    with jax.set_mesh(mesh):
+        sharded = shard_state(st, mesh, topo)
+        out = pair(sharded)
+
+    # oracle: T single steps on the unsharded XLA path
+    p_x = p.replace(backend="xla")
+    step = bt.make_stepper(p_x)
+    want = advance_n(step, st, pair.block_steps)
+    np.testing.assert_allclose(np.asarray(out.F), np.asarray(want.F),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.U), np.asarray(want.U),
+                               atol=2e-5, rtol=1e-4)
+    assert int(out.iter) == pair.block_steps
