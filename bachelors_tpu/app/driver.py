@@ -39,8 +39,11 @@ from ..utils.logging import SYSTEM, get_logger
 log = get_logger("app")
 
 # jitted advance functions keyed by (params, topology, sinks); see
-# run_simulation -- avoids per-config retracing in multi-config sessions
+# run_simulation -- avoids per-config retracing in multi-config sessions.
+# Bounded: each entry pins compiled programs + closures, so long parameter
+# scans evict the oldest entries (dict preserves insertion order).
 _ADVANCER_CACHE: Dict = {}
+_ADVANCER_CACHE_MAX = 32
 
 
 @dataclasses.dataclass
@@ -274,6 +277,8 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             stepper=stepper,
         )
         if cache_key is not None:
+            while len(_ADVANCER_CACHE) >= _ADVANCER_CACHE_MAX:
+                _ADVANCER_CACHE.pop(next(iter(_ADVANCER_CACHE)))
             _ADVANCER_CACHE[cache_key] = adv
     adv_until = adv["until"]
     adv_n = adv["n"]

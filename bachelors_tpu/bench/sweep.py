@@ -143,11 +143,15 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
 
     if warmup:
         # absorb the one-time backend/device initialization outside the
-        # first timed config (the reference pre-warms its allocation cache
-        # the same way, `simulation.cu:1166-1172`)
-        path = os.path.join(outdir, config_name(solvers[0], scales[0]))
-        if not os.path.exists(path):
-            generate_configs(outdir, [solvers[0]], [scales[0]])
+        # timed configs (the reference pre-warms its allocation cache the
+        # same way, `simulation.cu:1166-1172`).  The warmup uses a scale
+        # OUTSIDE the ladder so no timed cell's "cold" run inherits this
+        # process's jit/advancer caches for its own shape.
+        wscale = 0.125
+        while wscale in scales:
+            wscale /= 2
+        path = os.path.join(outdir, config_name(solvers[0], wscale))
+        generate_configs(outdir, [solvers[0]], [wscale])
         log.info("warmup run (untimed)")
         run_config_file(path, make_folder=False)
 

@@ -43,15 +43,19 @@ class InitialConditions:
 def make_initial_fields(p: SimParams, ic: InitialConditions):
     """Returns (F0, U0) with shape (ny, nx), dtype p.dtype.
 
-    Jitted with fully-static arguments (both are hashable frozen
+    Jitted with static config (both arguments are hashable frozen
     dataclasses): the ~20 elementwise ops run as ONE dispatch instead of
     op-by-op round-trips (material over the tunnel's ~25 ms RPC latency),
-    and repeated construction of the same config is cached."""
-    return _make_initial_fields_jit(p, ic)
+    and repeated construction of the same config is cached.  The noise
+    SEED is passed as a traced value so seed-varied ensembles (the driver
+    builds one member per seed, app/driver.py) share a single compiled
+    program instead of compiling per member."""
+    return _make_initial_fields_jit(p, dataclasses.replace(ic, noise_seed=0),
+                                    jnp.uint32(ic.noise_seed))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _make_initial_fields_jit(p: SimParams, ic: InitialConditions):
+def _make_initial_fields_jit(p: SimParams, ic: InitialConditions, noise_seed):
     dtype = jnp.dtype(p.dtype)
     # cell-center coordinates pos = (i + 0.5)/n * L0  (`main.cpp:101`)
     xs = (jnp.arange(p.nx, dtype=dtype) + 0.5) / p.nx * p.L0
@@ -88,7 +92,7 @@ def _make_initial_fields_jit(p: SimParams, ic: InitialConditions):
     if ic.noise_T != 0.0 or ic.noise_phi != 0.0:
         from ..ops.random import perlin2d_octaves
 
-        key = jax.random.PRNGKey(ic.noise_seed)
+        key = jax.random.PRNGKey(noise_seed)
         kT, kF = jax.random.split(key)
         cells = (ic.noise_cells, ic.noise_cells)
         if ic.noise_T != 0.0:

@@ -806,23 +806,9 @@ def _make_euler2_kernel(p: SimParams, interpret: bool = False, T: int = 2,
         tye = extF.shape[0]  # ty + 16
 
         if ghost:
-            # see _make_fullstep_kernel: the neighbor shard's true 8-row
-            # slabs are spliced at shard-edge programs; T <= 7 steps keep
-            # reads within the valid (8 - step) depth
-            def splice(ext, g_lo, g_hi):
-                i = pl.program_id(0)
-                n = pl.num_programs(0)
-                ext = jnp.where(i == 0,
-                                jnp.concatenate([g_lo[:], ext[8:]], axis=0),
-                                ext)
-                ext = jnp.where(i == n - 1,
-                                jnp.concatenate([ext[:tye - 8], g_hi[:]],
-                                                axis=0),
-                                ext)
-                return ext
-
-            extF = splice(extF, gF_lo, gF_hi)
-            extU = splice(extU, gU_lo, gU_hi)
+            # T <= 7 steps keep reads within the valid (8 - step) slab depth
+            extF = _splice_slabs(extF, gF_lo, gF_hi)
+            extU = _splice_slabs(extU, gU_lo, gU_hi)
 
         def fix(ext, bc):
             # splice the true ghost rows at the global edges (the clamped
@@ -896,6 +882,22 @@ def _ghost_slabs(F, U, axis_name: str):
     return gF_lo, gF_hi, gU_lo, gU_hi
 
 
+def _splice_slabs(ext, g_lo, g_hi):
+    """Replace the 8-row ghost regions of an extended block with the
+    neighbor shard's true slabs at the shard-edge programs (the
+    clamped/wrapped halo maps land on same-shard rows there, which are
+    wrong on a mesh).  Interior programs keep their true same-shard rows.
+    Shared by the multi-step Euler and whole-integrator ghost kernels."""
+    tye = ext.shape[0]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    ext = jnp.where(i == 0,
+                    jnp.concatenate([g_lo[:], ext[8:]], axis=0), ext)
+    ext = jnp.where(i == n - 1,
+                    jnp.concatenate([ext[:tye - 8], g_hi[:]], axis=0), ext)
+    return ext
+
+
 def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False,
                           ghost: bool = False):
     """One FULL integrator step (or adaptive attempt) per HBM pass.
@@ -948,27 +950,11 @@ def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False,
         tye = extF.shape[0]
 
         if ghost:
-            # Splice the neighbor shard's true 8-row slabs at the shard-edge
-            # programs (the clamped/wrapped halo maps land on same-shard
-            # rows there, which are wrong on a mesh).  Interior programs
-            # already read true same-shard rows.  Stage recomputation then
-            # reproduces the neighbor's stage values to shrinking depth:
-            # stage k reads depth k <= 5 < 8.  At GLOBAL edges the
-            # per-stage ghost refix below overwrites these rows anyway.
-            def splice(ext, g_lo, g_hi):
-                i = pl.program_id(0)
-                n = pl.num_programs(0)
-                ext = jnp.where(i == 0,
-                                jnp.concatenate([g_lo[:], ext[8:]], axis=0),
-                                ext)
-                ext = jnp.where(i == n - 1,
-                                jnp.concatenate([ext[:tye - 8], g_hi[:]],
-                                                axis=0),
-                                ext)
-                return ext
-
-            extF = splice(extF, gF_lo, gF_hi)
-            extU = splice(extU, gU_lo, gU_hi)
+            # Stage recomputation reproduces the neighbor's stage values to
+            # shrinking depth: stage k reads depth k <= 5 < 8.  At GLOBAL
+            # edges the per-stage ghost refix below overwrites these rows.
+            extF = _splice_slabs(extF, gF_lo, gF_hi)
+            extU = _splice_slabs(extU, gU_lo, gU_hi)
 
         def fix(ext, bc, dv):
             if bc == BoundaryType.PERIODIC:
@@ -1191,12 +1177,17 @@ def rk4_full_pallas_sharded(F, U, p: SimParams, axis_y, fu=0.0,
 
 
 def rkm_attempt_pallas_sharded(F, U, tau, p: SimParams, axis_y, fu=0.0,
-                               dirichlet_value=0.0, interpret: bool = False):
+                               dirichlet_value=0.0, interpret: bool = False,
+                               slabs=None, flags=None):
     """Entire Merson attempt per shard (k1..k5 + update + error maxima) with
     one ghost-slab exchange.  Returns (next_F, next_U, emax_F, emax_U) with
-    SHARD-LOCAL maxima; the caller pmaxes them."""
-    g = _ghost_slabs(F, U, axis_y)
-    first, last = _edge_flags(axis_y)
+    SHARD-LOCAL maxima; the caller pmaxes them.
+
+    ``slabs``/``flags``: precomputed ``_ghost_slabs``/``_edge_flags``
+    results -- (F, U) are tau-invariant across adaptive retries, so the
+    solver hoists the 4 ICI collectives out of the retry while_loop."""
+    g = slabs if slabs is not None else _ghost_slabs(F, U, axis_y)
+    first, last = flags if flags is not None else _edge_flags(axis_y)
     ny_local, nx_local = F.shape
     out = _fullstep_call_sharded(p, "rkm", interpret, F, U, *g, tau, fu,
                                  dirichlet_value, first, last,

@@ -73,8 +73,6 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
     if topo.is_sharded:
         if mesh is None or topo.axis_x is not None or topo.axis_batch:
             return None
-        from jax.sharding import PartitionSpec  # noqa: F401 (doc pointer)
-
         from ..ops.pallas_rhs import (euler2_pallas_sharded,
                                       supports_euler2_sharded)
         from ..parallel.sharded import _state_specs
@@ -257,6 +255,14 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         # it in VMEM instead (identical values; retries are rare at settled
         # tau and the recompute costs less than materializing k1 in HBM).
         k1_F, k1_U = eval_rhs([(F, U)], [one], p, topo, fu)
+    if full_sharded:
+        # the ghost slabs and edge flags are tau-invariant: hoist the 4 ICI
+        # collectives out of the retry while_loop (the analog of the staged
+        # path's k1 hoist above)
+        from ..ops.pallas_rhs import _edge_flags, _ghost_slabs
+
+        slabs = _ghost_slabs(F, U, topo.axis_y)
+        flags = _edge_flags(topo.axis_y)
 
     def stage(tau):
         """One tau attempt: candidate next state + error norms.
@@ -272,7 +278,7 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
             from ..ops.pallas_rhs import rkm_attempt_pallas_sharded
 
             nF, nU, emax_F, emax_U = rkm_attempt_pallas_sharded(
-                F, U, tau, p, topo.axis_y, fu)
+                F, U, tau, p, topo.axis_y, fu, slabs=slabs, flags=flags)
             emax_F = topo.allmax(emax_F)
             emax_U = topo.allmax(emax_U)
             return nF, nU, tau / 3 * emax_F, tau / 3 * emax_U
