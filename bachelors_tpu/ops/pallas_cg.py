@@ -43,27 +43,27 @@ def _halo_specs(ny, nx, ty, bc: BoundaryType):
     ]
 
 
-def _neighbors(vc, vn_grp, vs_grp, bc: BoundaryType):
-    n_row, s_row = _pick_halo_rows(vc, vn_grp, vs_grp, bc, 0.0)
-    ty = vc.shape[0]
-    N = jnp.where(_row_mask(vc, ty - 1), n_row, _roll(vc, -1, 0))
-    S = jnp.where(_row_mask(vc, 0), s_row, _roll(vc, 1, 0))
-    E, W = _shift_x(vc, bc, 0.0)
-    return N, S, E, W
-
-
 @functools.partial(jax.jit, static_argnames=("bc", "C", "X", "Y", "with_s",
                                              "blend", "ny", "nx", "interpret",
-                                             "ghost"))
+                                             "ghost", "ghost_x"))
 def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
                 blend: bool, ny: int, nx: int, interpret: bool, v, s, r, beta,
-                ghost: bool = False, g_lo=None, g_hi=None):
+                ghost: bool = False, g_lo=None, g_hi=None,
+                ghost_x: bool = False, g_w=None, g_e=None):
     """Fused (optionally blended) matvec + <p, Ap> partials.
 
     blend=False: p = v.  blend=True: the CG direction update is folded in --
     p' = r + beta*v is formed in VMEM from the halo'd inputs, and the kernel
     emits (p', A p', <p', A p'>) so the separate axpy pass disappears.
+
+    ghost / ghost_x: the y-halo arrives as ppermuted ghost ROWS and/or the
+    x-halo as ghost COLUMNS (x-sharded meshes; same machinery as the
+    sharded RHS kernels).  ghost_x is wired for the unblended form only
+    (the direction-blend would need two ghost column sets).
     """
+    if ghost_x and blend:
+        raise NotImplementedError("ghost columns are wired for the "
+                                  "unblended matvec form only")
     ty = _tile_y(ny, nx, 3 if blend else 2, 4)
     grid = ny // ty
 
@@ -82,6 +82,9 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
         if ghost:
             gl, gh = refs[i:i + 2]
             i += 2
+        if ghost_x:
+            gw, ge = refs[i:i + 2]
+            i += 2
         outs = refs[i:]
 
         if blend:
@@ -98,9 +101,15 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
             ty_k = pc.shape[0]
             N = jnp.where(_row_mask(pc, ty_k - 1), n_row, _roll(pc, -1, 0))
             S = jnp.where(_row_mask(pc, 0), s_row, _roll(pc, 1, 0))
-            E, W = _shift_x(pc, bc, 0.0)
         else:
-            N, S, E, W = _neighbors(pc, pn, ps, bc)
+            n_row, s_row = _pick_halo_rows(pc, pn, ps, bc, 0.0)
+            ty_k = pc.shape[0]
+            N = jnp.where(_row_mask(pc, ty_k - 1), n_row, _roll(pc, -1, 0))
+            S = jnp.where(_row_mask(pc, 0), s_row, _roll(pc, 1, 0))
+        if ghost_x:
+            E, W = _shift_x(pc, bc, 0.0, gw[:, 0:1], ge[:, 0:1])
+        else:
+            E, W = _shift_x(pc, bc, 0.0)
         if with_s:
             sv = sc[:]
             Av = (1 + C * sv) * pc + (X * sv) * (E + W) + (Y * sv) * (N + S)
@@ -133,6 +142,11 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
         gspec = pl.BlockSpec((8, nx), lambda i: (0, 0), memory_space=pltpu.VMEM)
         in_specs += [gspec, gspec]
         args += [g_lo, g_hi]
+    if ghost_x:
+        cspec = pl.BlockSpec((ty, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs += [cspec, cspec]
+        args += [g_w, g_e]
     out_specs = [fspec, _partial_spec(ty)]
     out_shape = [jax.ShapeDtypeStruct((ny, nx), jnp.float32),
                  jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)]
@@ -174,27 +188,39 @@ def aniso_matvec_pAp(A, s, v, interpret: bool = False):
                        interpret, v, s, v, 0.0)
 
 
-def cross_matvec_pAp_sharded(A, v, axis_y: str, interpret: bool = False):
+def _ghost_kw(bc, v, axis_y, axis_x):
+    """Ghost rows (y-sharded) / columns (x-sharded) for a single vector's
+    matvec; either axis may be None."""
+    from .pallas_rhs import _ghost_cols, _ghost_rows
+
+    kw = {}
+    if axis_y is not None:
+        g_lo, g_hi = _ghost_rows([(v, v)], [1.0], bc, 0, axis_y, 0.0)
+        kw.update(ghost=True, g_lo=g_lo, g_hi=g_hi)
+    if axis_x is not None:
+        g_w, g_e = _ghost_cols([(v, v)], [1.0], bc, 0, axis_x, 0.0)
+        kw.update(ghost_x=True, g_w=g_w, g_e=g_e)
+    return kw
+
+
+def cross_matvec_pAp_sharded(A, v, axis_y, interpret: bool = False,
+                             axis_x=None):
     """Sharded twin of ``cross_matvec_pAp``: the y-halo arrives as ghost
-    rows over ICI; the returned <v, Av> is SHARD-LOCAL (caller psums)."""
-    from .pallas_rhs import _ghost_rows
-
+    rows (and the x-halo as ghost columns on x-sharded meshes) over ICI;
+    the returned <v, Av> is SHARD-LOCAL (caller psums)."""
     ny, nx = v.shape
-    g_lo, g_hi = _ghost_rows([(v, v)], [1.0], A.boundary, 0, axis_y, 0.0)
     return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, False, ny, nx,
-                       interpret, v, v, v, 0.0, ghost=True, g_lo=g_lo,
-                       g_hi=g_hi)
+                       interpret, v, v, v, 0.0,
+                       **_ghost_kw(A.boundary, v, axis_y, axis_x))
 
 
-def aniso_matvec_pAp_sharded(A, s, v, axis_y: str, interpret: bool = False):
+def aniso_matvec_pAp_sharded(A, s, v, axis_y, interpret: bool = False,
+                             axis_x=None):
     """Sharded twin of ``aniso_matvec_pAp`` (local <v, Av>; caller psums)."""
-    from .pallas_rhs import _ghost_rows
-
     ny, nx = v.shape
-    g_lo, g_hi = _ghost_rows([(v, v)], [1.0], A.boundary, 0, axis_y, 0.0)
     return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, False, ny, nx,
-                       interpret, v, s, v, 0.0, ghost=True, g_lo=g_lo,
-                       g_hi=g_hi)
+                       interpret, v, s, v, 0.0,
+                       **_ghost_kw(A.boundary, v, axis_y, axis_x))
 
 
 def cross_advance_p_matvec(A, r, p, beta, interpret: bool = False):

@@ -116,18 +116,17 @@ def _resolve_backend(p: SimParams, topo: Topology, n_states: int = 1,
                      ny_local: int = 0, nx_local: int = 0,
                      for_cg: bool = False) -> str:
     """Pick the kernel backend: "pallas" (single chip), "pallas_sharded"
-    (1D/2D decomposition inside shard_map: ghost rows -- and ghost columns
-    on 2D meshes -- over ICI + fused kernel per shard), or "xla" (oracle /
-    fallback).  ``for_cg``: the fused CG matvec kernels only implement the
-    1D ghost-row form; 2D meshes fall back to XLA for the CG path."""
+    (1D/2D decomposition inside shard_map: ghost rows on y-sharded axes,
+    ghost columns on x-sharded axes, over ICI + fused kernel per shard),
+    or "xla" (oracle / fallback).  ``for_cg`` is kept for call-site
+    documentation; the fused CG matvecs now support every mesh shape the
+    RHS kernels do (ghost rows and/or columns)."""
     if p.backend == "xla":
         return "xla"
     from .pallas_rhs import supports, supports_sharded
 
     if topo.is_sharded:
-        if for_cg and topo.axis_x is not None:
-            return "xla"
-        if (topo.axis_y is not None and ny_local
+        if (ny_local
                 and supports_sharded(p, ny_local, n_states,
                                      nx_local=nx_local)
                 and _on_tpu_or_forced(p)):

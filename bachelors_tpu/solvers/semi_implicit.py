@@ -89,9 +89,7 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         backend = "xla"  # adjoint solves need the differentiable path
 
     # Prepare stage: one fused pass emitting r0_F, dt*lap(U) and (only when
-    # it varies per cell) s.  The prepare kernel shares the RHS ghost
-    # machinery, so it also fuses on the 2D meshes where the CG matvecs
-    # fall back to XLA.
+    # it varies per cell) s.
     prep_backend = "xla" if p.differentiable else _resolve_backend(
         p, topo, 1, ny_local=F.shape[0], nx_local=F.shape[1])
     s_const = not si_s_varies(p)
@@ -127,11 +125,13 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         if backend == "pallas":
             mv_F = lambda v: cross_matvec_pAp(A_Fc, v)
         else:  # pallas_sharded
-            mv_F = lambda v: cross_matvec_pAp_sharded(A_Fc, v, topo.axis_y)
+            mv_F = lambda v: cross_matvec_pAp_sharded(A_Fc, v, topo.axis_y,
+                                                      axis_x=topo.axis_x)
     elif backend == "pallas":
         mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
     else:  # pallas_sharded
-        mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y)
+        mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y,
+                                                  axis_x=topo.axis_x)
     solver_fn = cg_solve
     if p.differentiable:
         from .cg import cg_solve_diff as solver_fn
@@ -155,7 +155,8 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     if backend == "pallas":
         mv_U = lambda v: cross_matvec_pAp(A_U, v)
     elif backend == "pallas_sharded":
-        mv_U = lambda v: cross_matvec_pAp_sharded(A_U, v, topo.axis_y)
+        mv_U = lambda v: cross_matvec_pAp_sharded(A_U, v, topo.axis_y,
+                                                  axis_x=topo.axis_x)
     else:
         mv_U = None
     e_U, res_U = solver_fn(

@@ -951,3 +951,76 @@ class TestShardedFullstep:
                                       interpret=True)
         assert_match(gF, wF)
         assert_match(gU, wU)
+
+
+class TestShardedCG2D:
+    """Fused CG matvecs with ghost COLUMNS (x-only and 2D meshes; round-2
+    closes the last deliberate XLA fallback)."""
+
+    @pytest.mark.parametrize("mesh_kind", ["x_only", "yx"])
+    @pytest.mark.parametrize("bc", BCS)
+    def test_matvec_pAp_ghost_cols(self, bc, mesh_kind, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from bachelors_tpu.core.params import SimParams
+        from bachelors_tpu.ops.pallas_cg import (aniso_matvec_pAp_sharded,
+                                                 cross_matvec_pAp_sharded)
+        from bachelors_tpu.ops.stencil import (AnisotropyMatrix, CrossMatrix,
+                                               anisotropy_matvec, cross_matvec)
+        from bachelors_tpu.parallel.mesh import make_mesh
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(bc, ny=32, nx=512)
+        if mesh_kind == "x_only":
+            mesh, topo = make_mesh(shards_x=4)
+            spec = P(None, "x")
+        else:
+            mesh, topo = make_mesh(shards_y=2, shards_x=2)
+            spec = P("y", "x")
+        v = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
+        sm = (0.3 + 0.1 * rng.random((p.ny, p.nx))).astype(np.float32)
+        A_U = CrossMatrix.implicit_heat(p)
+        A_F = AnisotropyMatrix.implicit_phase(p)
+
+        def body(v, sm):
+            # psum the shard-local partials exactly like cg_solve does via
+            # topo.allsum
+            Av, pAp = cross_matvec_pAp_sharded(A_U, v, topo.axis_y,
+                                               axis_x=topo.axis_x,
+                                               interpret=True)
+            Bv, pBp = aniso_matvec_pAp_sharded(A_F, sm, v, topo.axis_y,
+                                               axis_x=topo.axis_x,
+                                               interpret=True)
+            return ((Av, topo.allsum(pAp)), (Bv, topo.allsum(pBp)))
+
+        run = jax.shard_map(
+            body, mesh=mesh, in_specs=(spec, spec),
+            out_specs=((spec, P()), (spec, P())), check_vma=False)
+        with jax.set_mesh(mesh):
+            (Av, pAp), (Bv, pBp) = run(jnp.asarray(v), jnp.asarray(sm))
+
+        topo0 = Topology()
+        want_A = cross_matvec(A_U, jnp.asarray(v), topo0)
+        want_B = anisotropy_matvec(A_F, jnp.asarray(sm), jnp.asarray(v), topo0)
+        assert_match(Av, want_A)
+        assert_match(Bv, want_B)
+        np.testing.assert_allclose(float(pAp), float(jnp.vdot(v, want_A)),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(float(pBp), float(jnp.vdot(v, want_B)),
+                                   rtol=2e-4)
+
+    def test_resolver_routes_x_only_mesh(self):
+        from bachelors_tpu.core.params import SimParams
+        from bachelors_tpu.ops.rhs import _resolve_backend
+        from bachelors_tpu.parallel.topology import Topology
+
+        p = params(BoundaryType.NEUMANN, ny=32, nx=512, backend="pallas")
+        topo = Topology(axis_x="x")
+        assert _resolve_backend(p, topo, 1, ny_local=32, nx_local=128) \
+            == "pallas_sharded"
+        # CG resolution no longer forces XLA on x-sharded meshes
+        assert _resolve_backend(p, topo, 3, ny_local=32, nx_local=128,
+                                for_cg=True) == "pallas_sharded"
