@@ -332,3 +332,45 @@ def test_adaptive_resume_restores_tau(tmp_path, monkeypatch):
     np.testing.assert_array_equal(resumed_final.maps["F"], full_final.maps["F"])
     np.testing.assert_array_equal(resumed_final.maps["U"], full_final.maps["U"])
     assert resumed_final.maps["tau"][0, 0] == full_final.maps["tau"][0, 0]
+
+
+def test_reference_plot_py_reads_our_bin(tmp_path):
+    """The ultimate .bin-compat proof: the REFERENCE's own plot.py loader
+    (`/root/reference/plot.py:26-76`) parses a snapshot we wrote and
+    returns bit-identical f64 payloads."""
+    import importlib.util
+
+    import numpy as np
+
+    ref_path = "/root/reference/plot.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+
+    from bachelors_tpu.io.snapshot import save_bin_maps
+
+    rng = np.random.default_rng(7)
+    F = rng.random((16, 32))
+    U = rng.random((16, 32))
+    path = str(tmp_path / "maps_0000.bin")
+    save_bin_maps(path, {"F": F, "U": U}, nx=32, ny=16,
+                  dx=0.125, dy=0.25, t=0.75, it=1234)
+
+    spec = importlib.util.spec_from_file_location("ref_plot", ref_path)
+    ref_plot = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(ref_plot)
+    except BaseException:
+        # plot.py's module level also regenerates thesis figures from
+        # artifacts we don't have; the loader functions are defined first
+        pass
+    loader = getattr(ref_plot, "load_bin_map_file", None)
+    if loader is None:
+        pytest.skip("reference loader not importable")
+
+    ms = loader(path)
+    got = ms.maps  # reference Map_Set: {name: ndarray} (`plot.py:16-24`)
+    assert set(got) == {"F", "U"}
+    assert (ms.nx, ms.ny, ms.iter) == (32, 16, 1234)
+    assert ms.time == pytest.approx(0.75)
+    np.testing.assert_array_equal(np.asarray(got["F"], np.float64), F)
+    np.testing.assert_array_equal(np.asarray(got["U"], np.float64), U)
