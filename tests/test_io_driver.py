@@ -374,3 +374,43 @@ def test_reference_plot_py_reads_our_bin(tmp_path):
     assert ms.time == pytest.approx(0.75)
     np.testing.assert_array_equal(np.asarray(got["F"], np.float64), F)
     np.testing.assert_array_equal(np.asarray(got["U"], np.float64), U)
+
+
+def test_reference_plot_py_reads_our_stats_csv(tmp_path):
+    """The reference's own stats loader (`plot.py:104-205`) parses a
+    stats.csv we produced through the real driver stats pipeline."""
+    import importlib.util
+
+    import numpy as np
+
+    ref_path = "/root/reference/plot.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+
+    # produce a real stats.csv via a short driver run with stats enabled
+    cfg_text = CONFIG_TEXT.replace("collect_stats = true",
+                                   "collect_stats = true")
+    cfg_text = cfg_text.replace("folder = snapshots",
+                                f"folder = {tmp_path}")
+    cfg_text = cfg_text.replace("stop_after = 0.00002", "stop_after = 0.0001")
+    cfg = parse_config(cfg_text)
+    from bachelors_tpu.app.driver import run_simulation
+
+    res = run_simulation(cfg)
+    csv_path = os.path.join(res.save_folder, "stats.csv")
+    assert os.path.exists(csv_path)
+
+    spec = importlib.util.spec_from_file_location("ref_plot2", ref_path)
+    ref_plot = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(ref_plot)
+    except BaseException:
+        pass
+    loader = getattr(ref_plot, "load_stat_file", None)
+    if loader is None:
+        pytest.skip("reference loader not importable")
+
+    st = loader(csv_path)
+    assert len(st.time) > 0
+    assert len(st.Phi_delta_L2) == len(st.time)
+    assert np.all(np.isfinite(np.asarray(st.time, np.float64)))
