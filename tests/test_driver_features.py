@@ -227,3 +227,10 @@ def test_default_compile_cache_respects_env(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_builtin_selftests_pass():
+    """[program] run_tests hook: the in-process subset must pass."""
+    from bachelors_tpu.app.selftest import run_selftests
+
+    assert run_selftests()
