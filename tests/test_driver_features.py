@@ -234,3 +234,27 @@ def test_builtin_selftests_pass():
     from bachelors_tpu.app.selftest import run_selftests
 
     assert run_selftests()
+
+
+def test_advance_n_pair_remainder():
+    """n // T fused blocks + n % T singles must land on exactly n steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from bachelors_tpu.core.state import SimState
+    from bachelors_tpu.solvers.run import advance_n
+
+    def single(s):
+        return s.replace(iter=s.iter + 1, t=s.t + 1.0), None
+
+    def pair(s):
+        return s.replace(iter=s.iter + 4, t=s.t + 4.0)
+
+    pair.block_steps = 4
+    st = SimState(F=jnp.zeros((4, 4)), U=jnp.zeros((4, 4)),
+                  t=jnp.float32(0), iter=jnp.int32(0), tau=jnp.float32(0))
+    for n in (0, 1, 4, 6, 11):
+        out = jax.jit(lambda s, k: advance_n(single, s, k,
+                                             pair_stepper=pair))(st, n)
+        assert int(out.iter) == n, (n, int(out.iter))
+        assert float(out.t) == pytest.approx(float(n))
