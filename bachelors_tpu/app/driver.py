@@ -308,9 +308,16 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     _mesh_stack.enter_context(mesh_ctx)
 
     last_stats_save = 0.0
+    fixed_dt = p.solver not in (SolverType.EXPLICIT_RK4_ADAPTIVE,)
+    # Fixed-dt iteration count is tracked HOST-side: adv_n advances exactly
+    # n steps and adv_collect reports its live-step mask, so no device
+    # fetch of state.iter is ever needed inside the event loop.  (Each
+    # fetch through the tunnel costs ~25 ms AND forces a sync that
+    # serializes the dispatch pipeline -- the round-2 driver paid one per
+    # event-loop pass.)  The one seed fetch happens before timing starts.
+    host_iter = int(np.asarray(state.iter).reshape(-1)[0])
     t_start = time.perf_counter()
     last_notif = t_start
-    fixed_dt = p.solver not in (SolverType.EXPLICIT_RK4_ADAPTIVE,)
 
     # Fixed-dt t_now is iter*dt in host f64 (exact); the epsilon only needs
     # to absorb f64 rounding of the event targets, NOT a half step (a dt/2
@@ -325,7 +332,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             # For fixed dt the authoritative time is iter*dt in host f64
             # (exact); the f32 device-side t is for stats/snapshots only.
             if fixed_dt:
-                t_now = int(np.asarray(state.iter).reshape(-1)[0]) * p.dt
+                t_now = host_iter * p.dt
             else:
                 # ensembles: advance until the SLOWEST member reaches the
                 # target (members already past it are frozen by the masked
@@ -340,8 +347,9 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 if fixed_dt:
                     # exact host-side step count (reference trigger
                     # semantics: first iter with t >= target)
-                    n = int(np.ceil((target - t_now) / p.dt - 1e-9))
-                    state = adv_n(state, max(n, 1))
+                    n = max(int(np.ceil((target - t_now) / p.dt - 1e-9)), 1)
+                    state = adv_n(state, n)
+                    host_iter += n
                 else:
                     state = adv_until(state, target, ADAPTIVE_CHUNK)
             else:
@@ -359,6 +367,8 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 mask = np.asarray(mask)
                 nrows = mask.shape[0]  # adv_collect rounds n up internally
                 mask = mask.reshape(nrows, -1)  # (n,) -> (n, 1|B)
+                # live-step count (fixed-dt members share the cadence)
+                host_iter += int(mask[:, 0].sum())
                 ts = np.asarray(stats.t).reshape(nrows, -1)
                 t_end = np.full(ts.shape[1:], np.float32(np.asarray(state.t).reshape(-1)[0]))
                 post = np.concatenate([ts[1:], t_end[None]], axis=0)
@@ -379,7 +389,9 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             now = time.perf_counter()
             if now - last_notif > 1:
                 last_notif = now
-                t_cur = _scalar(state.t)
+                # fixed dt: host-side time (a state.t fetch would force a
+                # device sync mid-pipeline); adaptive: t was just fetched
+                t_cur = host_iter * p.dt if fixed_dt else _scalar(state.t)
                 log.info(f"... completed {min(t_cur / stop, 1.0) * 100:.2f}%")
 
         snapshots += 1
@@ -388,15 +400,18 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             _save_snapshot(folder, snapshots, state, cfg,
                            accs if ensemble > 1 else acc, save_config_once)
 
+    # block_until_ready can return before execution completes on the
+    # tunneled device (CLAUDE.md); the scalar fetches below are the true
+    # barrier and therefore must happen BEFORE the runtime measurement.
     jax.block_until_ready(state.F)
-    _mesh_stack.close()
     if np.asarray(state.iter).ndim:
         # ensemble run: t/iter are per-member arrays (identical across
         # members for fixed dt); collapse to member 0 for the final report
         state = state.replace(t=np.asarray(state.t).reshape(-1)[0],
                               iter=np.asarray(state.iter).reshape(-1)[0])
-    runtime = time.perf_counter() - t_start
     iters = int(state.iter)
+    runtime = time.perf_counter() - t_start
+    _mesh_stack.close()
     log.info("Finished!")
     log.info(f"runtime: {runtime:.2f}s | iters: {iters} | "
              f"average step time: {runtime / max(iters, 1) * 1000:.2f} ms")
@@ -458,13 +473,22 @@ def _init_multiprocess_from_env() -> None:
 def _default_compile_cache() -> None:
     """Enable the persistent compilation cache unless the user configured
     one (first TPU compiles cost 20-150 s through the tunnel's compile
-    service; reruns of the same shapes become near-instant)."""
+    service; reruns of the same shapes become near-instant).
+
+    The default lives under the per-user cache dir, not a fixed path in
+    world-writable /tmp (where another local user could pre-create or
+    poison the shared directory)."""
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # env var already bound at jax import
     try:
         if not jax.config.jax_compilation_cache_dir:
+            base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser(
+                "~/.cache")
+            if base.startswith("~"):  # no resolvable home dir
+                base = os.path.join(tempfile.gettempdir(),
+                                    f"cache-{os.getuid()}")
             jax.config.update("jax_compilation_cache_dir",
-                              os.path.join(tempfile.gettempdir(), "jaxcache"))
+                              os.path.join(base, "bachelors_tpu", "jaxcache"))
     except Exception:  # pragma: no cover - older jax without the option
         pass
 

@@ -25,6 +25,25 @@ log = get_logger("sweep")
 SOLVERS = ("explicit", "explicit-rk4", "explicit-rk4-adaptive", "semi-implicit")
 SCALES = (0.25, 0.5, 1.0, 2.0, 4.0)
 BASE_MESH = 512
+ADAPTIVE = "explicit-rk4-adaptive"
+
+
+def tolerance_for(solver: str, dtype: str) -> str:
+    """The tolerance a generated ladder config carries -- a function of the
+    ladder's dtype, so the emitted configs ARE the measured configs.
+
+    The reference ladder runs f64 at 5e-9 (`generator.py:153,238`).  For
+    the f32 fast path the adaptive solver gets the dtype-commensurate
+    1e-5: the Merson error combination 0.2k1-0.9k3+0.8k4-0.1k5 cancels
+    catastrophically and its f32 truncation noise floors tau near 2.3e-7,
+    so 5e-9 would run ~177k steps; at 1e-5 the fused-kernel controller is
+    measured noise-free and follows the ideal tau ∝ tol^(1/5) scaling from
+    the f64 parity point (RESULTS.md, "Adaptive-tolerance note").  The CG
+    solvers keep 5e-9 in both dtypes -- the delta-form CG genuinely
+    converges there in f32 (RESULTS.md Notes)."""
+    if solver == ADAPTIVE and dtype != "float64":
+        return "1e-5"
+    return "5e-9"
 
 _TEMPLATE = """\
 ; generated benchmark config: solver={solver} scale={scale} mesh={mesh}^2
@@ -52,8 +71,8 @@ min_dt = 1e-9
 gamma = 1
 mesh_size_x = {base}
 mesh_size_y = {base}
-T_tolerance = 5e-9
-Phi_tolerance = 5e-9
+T_tolerance = {tolerance}
+Phi_tolerance = {tolerance}
 T_max_iters = 20
 Phi_max_iters = 20
 corrector_tolerance = 0
@@ -92,18 +111,21 @@ folder = {folder}
 prefix = {prefix}
 postfix =
 snapshot_initial_conditions = 0
-"""
+{tpu_section}"""
 
 
-def config_name(solver: str, scale: float) -> str:
+def config_name(solver: str, scale: float, dtype: str = "float32") -> str:
     mesh = int(BASE_MESH * scale)
-    return f"config_{solver}_{mesh}.ini"
+    suffix = "_f64" if dtype == "float64" else ""
+    return f"config_{solver}_{mesh}{suffix}.ini"
 
 
 def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
                      scales: Sequence[float] = SCALES,
-                     snapshots: int = 0) -> List[str]:
+                     snapshots: int = 0, dtype: str = "float32") -> List[str]:
     os.makedirs(outdir, exist_ok=True)
+    tpu_section = ("" if dtype == "float32"
+                   else f"\n[tpu]\ndtype = {dtype}\n")
     paths = []
     for solver in solvers:
         for scale in scales:
@@ -111,8 +133,10 @@ def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
             text = _TEMPLATE.format(solver=solver, scale=scale, base=BASE_MESH,
                                     mesh=mesh, times=snapshots,
                                     folder="sweep_out",
-                                    prefix=f"{solver}_{mesh}_")
-            path = os.path.join(outdir, config_name(solver, scale))
+                                    prefix=f"{solver}_{mesh}_",
+                                    tolerance=tolerance_for(solver, dtype),
+                                    tpu_section=tpu_section)
+            path = os.path.join(outdir, config_name(solver, scale, dtype))
             with open(path, "w") as f:
                 f.write(text)
             paths.append(path)
@@ -123,7 +147,8 @@ def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
 def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
               scales: Sequence[float] = SCALES,
               report_path: Optional[str] = None,
-              warmup: bool = True, repeat: int = 2) -> Dict:
+              warmup: bool = True, repeat: int = 2,
+              dtype: str = "float32") -> Dict:
     """Run the ladder, returning {solver: {mesh: {runtime, iters, ...}}}.
 
     Mirrors the reference's measured artifact
@@ -136,8 +161,15 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
     comparable artifact -- the cold run additionally pays jit tracing and
     compile-cache loading, a per-process one-time cost that amortizes away
     in production runs.  The persistent compilation cache is enabled so
-    compiles themselves persist across processes."""
+    compiles themselves persist across processes.
+
+    Reproducibility contract: every row records the EFFECTIVE tolerance
+    and dtype read back from the parsed config that actually ran, so the
+    committed artifact is self-describing and a clean-checkout
+    ``python -m bachelors_tpu.bench.sweep run`` regenerates it from the
+    very configs this function emits -- no out-of-band overrides."""
     from ..app.driver import _default_compile_cache, run_config_file
+    from ..io.config import load_config
 
     _default_compile_cache()
 
@@ -150,8 +182,8 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
         wscale = 0.125
         while wscale in scales:
             wscale /= 2
-        path = os.path.join(outdir, config_name(solvers[0], wscale))
-        generate_configs(outdir, [solvers[0]], [wscale])
+        path = os.path.join(outdir, config_name(solvers[0], wscale, dtype))
+        generate_configs(outdir, [solvers[0]], [wscale], dtype=dtype)
         log.info("warmup run (untimed)")
         run_config_file(path, make_folder=False)
 
@@ -160,9 +192,10 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
         results[solver] = {}
         for scale in scales:
             mesh = int(BASE_MESH * scale)
-            path = os.path.join(outdir, config_name(solver, scale))
+            path = os.path.join(outdir, config_name(solver, scale, dtype))
             if not os.path.exists(path):
-                generate_configs(outdir, [solver], [scale])
+                generate_configs(outdir, [solver], [scale], dtype=dtype)
+            p = load_config(path).params
             runs = [run_config_file(path, make_folder=False)
                     for _ in range(max(repeat, 1))]
             res = min(runs, key=lambda r: r.runtime)
@@ -170,8 +203,13 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
                 runtime_s=res.runtime, iters=res.iters,
                 avg_step_ms=res.avg_step_ms,
                 runtime_cold_s=runs[0].runtime,
-                cell_updates_per_s=mesh * mesh * res.iters / res.runtime)
-            log.info(f"{solver} {mesh}^2: {res.runtime:.2f}s "
+                cell_updates_per_s=mesh * mesh * res.iters / res.runtime,
+                dtype=p.dtype,
+                tolerance=min(p.Phi_tolerance, p.T_tolerance),
+                config=os.path.basename(path))
+            log.info(f"{solver} {mesh}^2 [{p.dtype}, tol "
+                     f"{min(p.Phi_tolerance, p.T_tolerance):g}]: "
+                     f"{res.runtime:.2f}s "
                      f"({res.avg_step_ms:.3f} ms/step; cold {runs[0].runtime:.2f}s)")
     if report_path:
         with open(report_path, "w") as f:
@@ -189,14 +227,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--solver", action="append", default=None)
     ap.add_argument("--scale", action="append", type=float, default=None)
     ap.add_argument("--report", default="sweep_report.json")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"],
+                    help="ladder precision; float64 emits [tpu] dtype "
+                    "configs at the reference's 5e-9 tolerance (XLA path)")
     args = ap.parse_args(argv)
 
     solvers = args.solver or list(SOLVERS)
     scales = args.scale or list(SCALES)
     if args.command == "generate":
-        generate_configs(args.outdir, solvers, scales)
+        generate_configs(args.outdir, solvers, scales, dtype=args.dtype)
     else:
-        run_sweep(args.outdir, solvers, scales, report_path=args.report)
+        run_sweep(args.outdir, solvers, scales, report_path=args.report,
+                  dtype=args.dtype)
     return 0
 
 

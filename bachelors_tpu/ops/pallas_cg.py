@@ -270,7 +270,15 @@ def _update_xr_rr(ny: int, nx: int, interpret: bool, x, r, pv, Ap, alpha):
 
 
 def update_xr_rr(x, r, pv, Ap, alpha, interpret: bool = False):
-    """Fused (x + alpha p, r - alpha Ap, <r', r'>)."""
+    """Fused (x + alpha p, r - alpha Ap, <r', r'>).
+
+    DONATION CONTRACT: the input ``x`` and ``r`` buffers are updated in
+    place (``input_output_aliases``) and must be DEAD after this call --
+    callers may not reuse the old arrays inside the same jit.  The CG
+    loops satisfy this by construction (each iteration consumes only the
+    returned x/r); interpret/debug paths do not alias, so code that
+    (incorrectly) reuses donated inputs would pass in interpret mode yet
+    read clobbered memory on TPU."""
     ny, nx = x.shape
     return _update_xr_rr(ny, nx, interpret, x, r, pv, Ap, alpha)
 

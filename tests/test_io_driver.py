@@ -334,17 +334,44 @@ def test_adaptive_resume_restores_tau(tmp_path, monkeypatch):
     assert resumed_final.maps["tau"][0, 0] == full_final.maps["tau"][0, 0]
 
 
-def test_reference_plot_py_reads_our_bin(tmp_path):
-    """The ultimate .bin-compat proof: the REFERENCE's own plot.py loader
-    (`/root/reference/plot.py:26-76`) parses a snapshot we wrote and
-    returns bit-identical f64 payloads."""
-    import importlib.util
+def _reference_plot_defs():
+    """Compile ONLY the top-level imports/class/function definitions of the
+    reference's plot.py, never its other module-level statements.
 
-    import numpy as np
+    The reference checkout is untrusted public content and plot.py's module
+    level regenerates thesis figures from artifacts we don't have;
+    executing it wholesale (the previous exec_module approach) ran
+    arbitrary top-level code in-process and could leave a half-initialized
+    module behind.  AST-filtering keeps just the definitions these
+    compat tests need (`plot.py:16-205`): untrusted code then only runs
+    when a specific loader function is deliberately called on our file."""
+    import ast
 
     ref_path = "/root/reference/plot.py"
     if not os.path.exists(ref_path):
         pytest.skip("reference checkout not available")
+    with open(ref_path) as f:
+        tree = ast.parse(f.read(), filename=ref_path)
+    defs = [n for n in tree.body if isinstance(
+        n, (ast.Import, ast.ImportFrom, ast.ClassDef, ast.FunctionDef))]
+    ns: dict = {}
+    for node in defs:
+        # per-node: later plot functions reference skipped module-level
+        # assignments in their default args; one bad def must not discard
+        # the already-compiled loaders
+        try:
+            exec(compile(ast.Module(body=[node], type_ignores=[]),  # noqa: S102
+                         ref_path, "exec"), ns)
+        except Exception:
+            continue
+    return ns
+
+
+def test_reference_plot_py_reads_our_bin(tmp_path):
+    """The ultimate .bin-compat proof: the REFERENCE's own plot.py loader
+    (`/root/reference/plot.py:26-76`) parses a snapshot we wrote and
+    returns bit-identical f64 payloads."""
+    import numpy as np
 
     from bachelors_tpu.io.snapshot import save_bin_maps
 
@@ -355,15 +382,7 @@ def test_reference_plot_py_reads_our_bin(tmp_path):
     save_bin_maps(path, {"F": F, "U": U}, nx=32, ny=16,
                   dx=0.125, dy=0.25, t=0.75, it=1234)
 
-    spec = importlib.util.spec_from_file_location("ref_plot", ref_path)
-    ref_plot = importlib.util.module_from_spec(spec)
-    try:
-        spec.loader.exec_module(ref_plot)
-    except BaseException:
-        # plot.py's module level also regenerates thesis figures from
-        # artifacts we don't have; the loader functions are defined first
-        pass
-    loader = getattr(ref_plot, "load_bin_map_file", None)
+    loader = _reference_plot_defs().get("load_bin_map_file")
     if loader is None:
         pytest.skip("reference loader not importable")
 
@@ -379,13 +398,7 @@ def test_reference_plot_py_reads_our_bin(tmp_path):
 def test_reference_plot_py_reads_our_stats_csv(tmp_path):
     """The reference's own stats loader (`plot.py:104-205`) parses a
     stats.csv we produced through the real driver stats pipeline."""
-    import importlib.util
-
     import numpy as np
-
-    ref_path = "/root/reference/plot.py"
-    if not os.path.exists(ref_path):
-        pytest.skip("reference checkout not available")
 
     # produce a real stats.csv via a short driver run with stats enabled
     cfg_text = CONFIG_TEXT.replace("collect_stats = true",
@@ -400,13 +413,7 @@ def test_reference_plot_py_reads_our_stats_csv(tmp_path):
     csv_path = os.path.join(res.save_folder, "stats.csv")
     assert os.path.exists(csv_path)
 
-    spec = importlib.util.spec_from_file_location("ref_plot2", ref_path)
-    ref_plot = importlib.util.module_from_spec(spec)
-    try:
-        spec.loader.exec_module(ref_plot)
-    except BaseException:
-        pass
-    loader = getattr(ref_plot, "load_stat_file", None)
+    loader = _reference_plot_defs().get("load_stat_file")
     if loader is None:
         pytest.skip("reference loader not importable")
 
