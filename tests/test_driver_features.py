@@ -122,13 +122,104 @@ def test_ensemble_adaptive_runs(tmp_path, monkeypatch):
     assert np.isfinite(snap.maps["F_mean"]).all()
 
 
-def test_ensemble_adaptive_with_stats_rejected(tmp_path, monkeypatch):
+def test_ensemble_adaptive_with_stats(tmp_path, monkeypatch):
+    """Round-3 lift: adaptive + ensemble + stats -- each member's rows land
+    in its OWN csv at its OWN step times (per-member cadence; members'
+    adaptive trajectories diverge with the noise seeds)."""
     monkeypatch.chdir(tmp_path)
     text = (CONFIG_TEXT.replace("solver = explicit", "solver = explicit-rk4-adaptive")
-            + "\n[tpu]\nensemble = 2\n")
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.1\n[tpu]\nensemble = 2\n")
     open("c.ini", "w").write(text)
-    with pytest.raises(ValueError, match="adaptive"):
-        run_config_file("c.ini")
+    res = run_config_file("c.ini")
+    f0 = open(os.path.join(res.save_folder, "stats.csv")).read().splitlines()
+    f1 = open(os.path.join(res.save_folder, "stats_m001.csv")).read().splitlines()
+    assert len(f0) > 2 and len(f1) > 2  # headers + at least one row each
+    assert f0[0] == f1[0]  # same schema
+    # per-member rows: time column strictly increasing within each file
+    for lines in (f0, f1):
+        times = [float(l.split(",")[0]) for l in lines[2:]]
+        assert times == sorted(times)
+        assert all(t <= 2e-5 + 1e-9 for t in times)
+
+
+def test_ensemble_resume_fixed_dt(tmp_path, monkeypatch):
+    """Round-3 lift: ensemble runs resume from members_####.bin with every
+    member's fields restored bit-exactly (full run == half + resumed half)."""
+    monkeypatch.chdir(tmp_path)
+    base = (CONFIG_TEXT
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.03\n[tpu]\nensemble = 2\n")
+    open("full.ini", "w").write(base)
+    res_full = run_config_file("full.ini")
+    full = load_bin_maps(os.path.join(res_full.save_folder, "members_0001.bin"))
+
+    half1 = base.replace("stop_after = 0.00002", "stop_after = 0.00001")
+    open("half1.ini", "w").write(half1)
+    res1 = run_config_file("half1.ini")
+    mid = os.path.join(res1.save_folder, "members_0001.bin")
+    assert os.path.exists(mid)
+
+    half2 = base + f"\n[initial]\ninit_path = {mid}\n"
+    open("half2.ini", "w").write(half2)
+    res2 = run_config_file("half2.ini")
+    resumed = load_bin_maps(os.path.join(res2.save_folder, "members_0001.bin"))
+
+    assert res2.iters == res_full.iters
+    for name in ("F_m000", "U_m000", "F_m001", "U_m001"):
+        np.testing.assert_array_equal(resumed.maps[name], full.maps[name])
+
+
+def test_ensemble_resume_adaptive_tau(tmp_path, monkeypatch):
+    """Adaptive ensemble resume restores each member's OWN controller state
+    (t, iter, tau) from the packed metadata map."""
+    from bachelors_tpu.app.driver import ENSEMBLE_META
+
+    monkeypatch.chdir(tmp_path)
+    base = (CONFIG_TEXT
+            .replace("solver = explicit", "solver = explicit-rk4-adaptive")
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[initial]\nnoise_T = 0.1\n[tpu]\nensemble = 2\n")
+    open("h1.ini", "w").write(base.replace("stop_after = 0.00002",
+                                           "stop_after = 0.00001"))
+    res1 = run_config_file("h1.ini")
+    mid_path = os.path.join(res1.save_folder, "members_0001.bin")
+    mid = load_bin_maps(mid_path)
+    meta = mid.maps[ENSEMBLE_META].reshape(-1)
+    # members diverged: per-member (t, iter, tau) entries are all present
+    t0, it0, tau0 = meta[0], meta[1], meta[2]
+    t1, it1, tau1 = meta[3], meta[4], meta[5]
+    assert tau0 > 0 and tau1 > 0
+
+    open("h2.ini", "w").write(base + f"\n[initial]\ninit_path = {mid_path}\n")
+    res2 = run_config_file("h2.ini")
+    fin = load_bin_maps(os.path.join(res2.save_folder, "members_0001.bin"))
+    fmeta = fin.maps[ENSEMBLE_META].reshape(-1)
+    # both members advanced from their restored trajectories to the stop time
+    assert fmeta[0] >= 2e-5 - 1e-9 and fmeta[3] >= 2e-5 - 1e-9
+    assert fmeta[1] > it0 and fmeta[4] > it1
+    assert np.isfinite(fin.maps["F_m000"]).all()
+    assert np.isfinite(fin.maps["F_m001"]).all()
+
+
+def test_ensemble_resume_member_count_mismatch(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    base = (CONFIG_TEXT
+            .replace("collect_stats = true", "collect_stats = false")
+            .replace("times = 2", "times = 1")
+            + "\n[tpu]\nensemble = 2\n")
+    open("a.ini", "w").write(base)
+    res = run_config_file("a.ini")
+    mid = os.path.join(res.save_folder, "members_0001.bin")
+    bad = base.replace("ensemble = 2", "ensemble = 3") \
+        + f"\n[initial]\ninit_path = {mid}\n"
+    open("b.ini", "w").write(bad)
+    from bachelors_tpu.app.driver import run_simulation
+    from bachelors_tpu.io.config import load_config
+    with pytest.raises(ValueError, match="members"):
+        run_simulation(load_config("b.ini"))
 
 
 def test_ensemble_stats_per_member_csv(tmp_path, monkeypatch):
