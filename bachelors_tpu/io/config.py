@@ -175,7 +175,12 @@ class SimConfig:
     display_max: float = 1.0
     debug: bool = False
 
-    # TPU extensions
+    # TPU extensions.  Mesh shape: PREFER 1D shards_y = n_chips -- the
+    # whole-integrator ghost-slab kernels (one ppermute pair per field per
+    # step) exist only on y-meshes; a (y, x) mesh falls back to per-stage
+    # halo exchanges (~10x the collectives; quantified in
+    # docs/ARCHITECTURE.md "Mesh-shape recommendation").  Use shards_x
+    # only when ny/16 < n_chips or a shard's nx would drop below 128.
     shards_y: int = 1
     shards_x: int = 1
     ensemble: int = 1
