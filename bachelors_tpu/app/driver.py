@@ -232,6 +232,13 @@ def _save_snapshot(folder: str, index: int, state: SimState, cfg: SimConfig,
 def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                    make_folder: bool = True) -> RunResult:
     p = cfg.params
+    if p.dtype == "float64" and not jax.config.read("jax_enable_x64"):
+        # [tpu] dtype = float64 needs x64 semantics or jnp silently
+        # downcasts every array to f32 (the per-process global matches the
+        # reference's compile-time Real=double, `simulation.h:20-25`);
+        # the test suite enables it in conftest, the CLI path lands here
+        jax.config.update("jax_enable_x64", True)
+        log.info("enabled jax x64 mode for the float64 run")
 
     # Ensemble data parallelism: [tpu] ensemble = N runs N simulations with
     # per-member noise seeds in one vmapped program.
@@ -327,11 +334,15 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
             from ..solvers.explicit import make_euler_pair_stepper
 
             pair = make_euler_pair_stepper(p, topo, mesh=mesh)
+        # NO buffer donation here (round-3 finding): donating the state
+        # into a dynamic-trip-count device loop forces XLA to keep the
+        # carry in the donated buffer, adding a 2-field copy EVERY
+        # iteration -- measured 0.943 vs 0.593 s for 8000 Euler steps at
+        # 2048^2 (+44 us/step = exactly one F+U copy at stream rate).
+        # The cost of not donating is two extra live field buffers.
         adv = dict(
-            until=jax.jit(lambda s, t_stop, cap: _until(stepper, s, t_stop, cap),
-                          donate_argnums=0),
-            n=jax.jit(lambda s, n: advance_n(stepper, s, n, pair_stepper=pair),
-                      donate_argnums=0),
+            until=jax.jit(lambda s, t_stop, cap: _until(stepper, s, t_stop, cap)),
+            n=jax.jit(lambda s, n: advance_n(stepper, s, n, pair_stepper=pair)),
             collect={},
             stepper=stepper,
         )
@@ -350,9 +361,11 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         # no-ops by t_stop inside advance_collect)
         n = 1 << (max(n, 1) - 1).bit_length()
         if n not in jit_collect:
+            # no donation: same per-iteration carry-copy penalty as the
+            # fast-path advancers above (the scan carry would be pinned to
+            # the donated buffer)
             jit_collect[n] = jax.jit(
-                lambda st, ts: advance_collect(_cached_stepper, st, n, t_stop=ts),
-                donate_argnums=0)
+                lambda st, ts: advance_collect(_cached_stepper, st, n, t_stop=ts))
         return jit_collect[n](s, t_stop)
 
     if (p.solver == SolverType.EXPLICIT_RK4_ADAPTIVE and p.dtype == "float32"

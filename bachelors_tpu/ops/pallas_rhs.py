@@ -1029,10 +1029,33 @@ def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False,
             outs[0][:] = (xF + c * (k1[0] + 4 * k4[0] + k5[0]))[8:8 + ty]
             outs[1][:] = (xU + c * (k1[1] + 4 * k4[1] + k5[1]))[8:8 + ty]
             mid = slice(8, 8 + ty)
-            eF = jnp.max(jnp.abs(0.2 * k1[0] - 0.9 * k3[0] + 0.8 * k4[0]
-                                 - 0.1 * k5[0])[mid])
-            eU = jnp.max(jnp.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1]
-                                 - 0.1 * k5[1])[mid])
+
+            def comb(c1, c3, c4, c5):
+                """0.2c1 - 0.9c3 + 0.8c4 - 0.1c5, compensated.
+
+                The combination cancels catastrophically (coefficients sum
+                to zero, stages agree to leading order), so its plain f32
+                evaluation adds ~5 ulp-of-|k| of its own noise on top of
+                the stages' inherent rounding.  Scaling by 10 makes every
+                coefficient integral: 2c1, 8c3, 8c4, c5 are EXACT binary
+                products and 9c3 splits exactly into 8c3 + c3, so a
+                TwoSum-compensated accumulation evaluates the combination
+                to double-f32 precision with ONE rounding at the final 0.1
+                scale.  ~30 extra VPU ops per cell per field out of ~500
+                for the attempt; measured floor effect in RESULTS.md
+                ("Adaptive-tolerance note")."""
+                terms = (-8.0 * c3, -c3, 8.0 * c4, -c5)
+                s = 2.0 * c1
+                comp = jnp.zeros_like(s)
+                for t in terms:
+                    x = s + t
+                    z = x - s
+                    comp = comp + ((s - (x - z)) + (t - z))
+                    s = x
+                return 0.1 * (s + comp)
+
+            eF = jnp.max(jnp.abs(comb(k1[0], k3[0], k4[0], k5[0]))[mid])
+            eU = jnp.max(jnp.abs(comb(k1[1], k3[1], k4[1], k5[1]))[mid])
             outs[2][:] = jnp.full(outs[2].shape, eF)
             outs[3][:] = jnp.full(outs[3].shape, eU)
 

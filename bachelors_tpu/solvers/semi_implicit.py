@@ -37,7 +37,25 @@ from ..models.allen_cahn import semi_implicit_prepare
 from ..ops.stencil import (AnisotropyMatrix, CrossMatrix, anisotropy_matvec,
                            cross_matvec)
 from ..parallel.topology import Topology
-from .cg import CGResult, cg_solve
+from .cg import CGResult, cg_solve, cg_solve_fused
+
+# CG iteration variant gate (single-chip pallas path, no preconditioner):
+#   "pAp"   -- 3 HBM passes/iter: fused matvec+<p,Ap>, fused x/r update,
+#              XLA axpy for p = r + beta p
+#   "fused" -- 2 HBM passes/iter: the direction update is folded INTO the
+#              matvec (ops.pallas_cg.*_advance_p_matvec)
+# Measured on the tunnel TPU (round 3; see RESULTS.md semi-implicit notes):
+# in the cache-resident regime the extra loop carry makes "fused" slightly
+# slower, in the HBM-bound regime (working set >> on-chip cache) cutting
+# 3 passes to 2 wins.  Crossover sits between 2048^2 and 4096^2.
+SI_FUSED_CG_MIN_CELLS = 9_000_000
+_FORCE_CG_VARIANT = None  # bench/test hook: None | "pAp" | "fused"
+
+
+def _cg_variant(n_cells: int) -> str:
+    if _FORCE_CG_VARIANT is not None:
+        return _FORCE_CG_VARIANT
+    return "fused" if n_cells >= SI_FUSED_CG_MIN_CELLS else "pAp"
 
 
 def _lap_from_padded(vp, p: SimParams):
@@ -73,13 +91,14 @@ def _wants_jacobi(p: SimParams) -> bool:
 def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     """One semi-implicit step.  Returns (next_F, next_U, res_F, res_U)."""
     # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
-    # NOTE: the deeper cg_solve_fused variant (direction update folded into
-    # the matvec) measured *slower* on the current device (2.49 vs 2.02
-    # ms/step at 2048^2: the duplicated r/p halo transfers and larger loop
-    # carry outweigh the saved axpy pass), so the pAp-fusion form is wired.
+    # The deeper cg_solve_fused 2-pass variant engages by measured size
+    # gate (see SI_FUSED_CG_MIN_CELLS): cache-resident grids prefer the
+    # 3-pass pAp form (smaller loop carry), HBM-bound grids the 2-pass.
     from ..ops.rhs import _resolve_backend
-    from ..ops.pallas_cg import (aniso_matvec_pAp, aniso_matvec_pAp_sharded,
-                                 cross_matvec_pAp, cross_matvec_pAp_sharded)
+    from ..ops.pallas_cg import (aniso_advance_p_matvec, aniso_matvec_pAp,
+                                 aniso_matvec_pAp_sharded,
+                                 cross_advance_p_matvec, cross_matvec_pAp,
+                                 cross_matvec_pAp_sharded)
     from ..ops.pallas_rhs import (si_prepare_pallas, si_prepare_pallas_sharded,
                                   si_s_varies)
 
@@ -115,6 +134,7 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
 
     A_F = AnisotropyMatrix.implicit_phase(p)
     jacobi = _wants_jacobi(p)
+    adv_F = None
     if jacobi or backend == "xla":
         mv_F = None
     elif s_const:
@@ -124,26 +144,35 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
                            boundary=p.Phi_boundary)
         if backend == "pallas":
             mv_F = lambda v: cross_matvec_pAp(A_Fc, v)
+            adv_F = lambda r_, p_, b_: cross_advance_p_matvec(A_Fc, r_, p_, b_)
         else:  # pallas_sharded
             mv_F = lambda v: cross_matvec_pAp_sharded(A_Fc, v, topo.axis_y,
                                                       axis_x=topo.axis_x)
     elif backend == "pallas":
         mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
+        adv_F = lambda r_, p_, b_: aniso_advance_p_matvec(A_F, s, r_, p_, b_)
     else:  # pallas_sharded
         mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y,
                                                   axis_x=topo.axis_x)
     solver_fn = cg_solve
     if p.differentiable:
         from .cg import cg_solve_diff as solver_fn
+    use_fused = adv_F is not None and _cg_variant(F.size) == "fused"
     extra = {}
     if not p.differentiable:
         extra["matvec_pAp"] = mv_F
         if jacobi:
             extra["diag"] = 1 + A_F.Cm1 * s
-    e_F, res_F = solver_fn(
-        lambda v: anisotropy_matvec(A_F, s, v, topo),
-        r0_F, tolerance=p.Phi_tolerance,
-        max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo, **extra)
+    if use_fused:
+        e_F, res_F = cg_solve_fused(
+            lambda v: anisotropy_matvec(A_F, s, v, topo), mv_F, adv_F,
+            r0_F, tolerance=p.Phi_tolerance,
+            max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo)
+    else:
+        e_F, res_F = solver_fn(
+            lambda v: anisotropy_matvec(A_F, s, v, topo),
+            r0_F, tolerance=p.Phi_tolerance,
+            max_iters=p.Phi_max_iters, epsilon=1.0e-12, topo=topo, **extra)
     next_F = F + e_F
 
     # heat residual in deltas; U_base - U is exactly zero (same array) on
@@ -159,11 +188,18 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
                                                   axis_x=topo.axis_x)
     else:
         mv_U = None
-    e_U, res_U = solver_fn(
-        lambda v: cross_matvec(A_U, v, topo),
-        r0_U, tolerance=p.T_tolerance,
-        max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
-        **({} if p.differentiable else {"matvec_pAp": mv_U}))
+    if backend == "pallas" and not p.differentiable and _cg_variant(U.size) == "fused":
+        e_U, res_U = cg_solve_fused(
+            lambda v: cross_matvec(A_U, v, topo), mv_U,
+            lambda r_, p_, b_: cross_advance_p_matvec(A_U, r_, p_, b_),
+            r0_U, tolerance=p.T_tolerance,
+            max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo)
+    else:
+        e_U, res_U = solver_fn(
+            lambda v: cross_matvec(A_U, v, topo),
+            r0_U, tolerance=p.T_tolerance,
+            max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
+            **({} if p.differentiable else {"matvec_pAp": mv_U}))
     next_U = U + e_U
     return next_F, next_U, res_F, res_U
 
