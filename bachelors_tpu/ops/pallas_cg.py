@@ -49,7 +49,7 @@ def _halo_specs(ny, nx, ty, bc: BoundaryType):
 def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
                 blend: bool, ny: int, nx: int, interpret: bool, v, s, r, beta,
                 ghost: bool = False, g_lo=None, g_hi=None,
-                ghost_x: bool = False, g_w=None, g_e=None):
+                ghost_x: bool = False, g_w=None, g_e=None, out=None):
     """Fused (optionally blended) matvec + <p, Ap> partials.
 
     blend=False: p = v.  blend=True: the CG direction update is folded in --
@@ -60,12 +60,21 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
     x-halo as ghost COLUMNS (x-sharded meshes; same machinery as the
     sharded RHS kernels).  ghost_x is wired for the unblended form only
     (the direction-blend would need two ghost column sets).
+
+    out: optional DEAD (ny, nx) buffer donated as the Av output's backing
+    store (input_output_aliases).  Writing into warm pages instead of a
+    fresh allocation skips the write-allocate read of every cold cache
+    line (the RESULTS.md roofline: fresh-buffer stores run at half the
+    stream rate).  The CG loop feeds the previous iteration's Ap, which
+    is dead once x/r are updated.  DONATION CONTRACT: the caller must not
+    use ``out`` after this call.
     """
     if ghost_x and blend:
         raise NotImplementedError("ghost columns are wired for the "
                                   "unblended matvec form only")
     ty = _tile_y(ny, nx, 3 if blend else 2, 4)
     grid = ny // ty
+    has_dead_out = out is not None  # (the kernel shadows the name 'out')
 
     def kernel(*refs):
         i = 0
@@ -85,6 +94,8 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
         if ghost_x:
             gw, ge = refs[i:i + 2]
             i += 2
+        if has_dead_out:
+            i += 1  # the dead alias-target buffer; never read
         outs = refs[i:]
 
         if blend:
@@ -147,6 +158,11 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
                              memory_space=pltpu.VMEM)
         in_specs += [cspec, cspec]
         args += [g_w, g_e]
+    io_alias = {}
+    if out is not None:
+        in_specs.append(fspec)
+        args.append(out)
+        io_alias = {len(in_specs) - 1: 1 if blend else 0}
     out_specs = [fspec, _partial_spec(ty)]
     out_shape = [jax.ShapeDtypeStruct((ny, nx), jnp.float32),
                  jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)]
@@ -159,6 +175,7 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=io_alias,
         interpret=interpret,
     )(*args)
     if blend:
@@ -172,20 +189,22 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
     return out, pAp
 
 
-def cross_matvec_pAp(A, v, interpret: bool = False):
-    """(A v, <v, A v>) for the constant cross operator (ops.stencil.CrossMatrix)."""
+def cross_matvec_pAp(A, v, interpret: bool = False, out=None):
+    """(A v, <v, A v>) for the constant cross operator (ops.stencil.CrossMatrix).
+
+    ``out``: optional dead buffer donated as Av's storage (see _matvec_pAp)."""
     ny, nx = v.shape
     return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, False, ny, nx,
-                       interpret, v, v, v, 0.0)
+                       interpret, v, v, v, 0.0, out=out)
 
 
-def aniso_matvec_pAp(A, s, v, interpret: bool = False):
+def aniso_matvec_pAp(A, s, v, interpret: bool = False, out=None):
     """(A v, <v, A v>) for the anisotropy operator (ops.stencil.AnisotropyMatrix).
 
     Note the operator form (1 + Cm1*s) I + X*s (E+W) + Y*s (N+S)."""
     ny, nx = v.shape
     return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, False, ny, nx,
-                       interpret, v, s, v, 0.0)
+                       interpret, v, s, v, 0.0, out=out)
 
 
 def _ghost_kw(bc, v, axis_y, axis_x):
@@ -204,37 +223,73 @@ def _ghost_kw(bc, v, axis_y, axis_x):
 
 
 def cross_matvec_pAp_sharded(A, v, axis_y, interpret: bool = False,
-                             axis_x=None):
+                             axis_x=None, out=None):
     """Sharded twin of ``cross_matvec_pAp``: the y-halo arrives as ghost
     rows (and the x-halo as ghost columns on x-sharded meshes) over ICI;
     the returned <v, Av> is SHARD-LOCAL (caller psums)."""
     ny, nx = v.shape
     return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, False, ny, nx,
-                       interpret, v, v, v, 0.0,
+                       interpret, v, v, v, 0.0, out=out,
                        **_ghost_kw(A.boundary, v, axis_y, axis_x))
 
 
 def aniso_matvec_pAp_sharded(A, s, v, axis_y, interpret: bool = False,
-                             axis_x=None):
+                             axis_x=None, out=None):
     """Sharded twin of ``aniso_matvec_pAp`` (local <v, Av>; caller psums)."""
     ny, nx = v.shape
     return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, False, ny, nx,
-                       interpret, v, s, v, 0.0,
+                       interpret, v, s, v, 0.0, out=out,
                        **_ghost_kw(A.boundary, v, axis_y, axis_x))
 
 
-def cross_advance_p_matvec(A, r, p, beta, interpret: bool = False):
+def cross_advance_p_matvec(A, r, p, beta, interpret: bool = False, out=None):
     """(p', A p', <p', A p'>) with p' = r + beta*p fused into the matvec."""
     ny, nx = p.shape
     return _matvec_pAp(A.boundary, A.C, A.X, A.Y, False, True, ny, nx,
-                       interpret, p, p, r, beta)
+                       interpret, p, p, r, beta, out=out)
 
 
-def aniso_advance_p_matvec(A, s, r, p, beta, interpret: bool = False):
+def aniso_advance_p_matvec(A, s, r, p, beta, interpret: bool = False,
+                           out=None):
     """Anisotropy-operator variant of ``cross_advance_p_matvec``."""
     ny, nx = p.shape
     return _matvec_pAp(A.boundary, A.Cm1, A.X, A.Y, True, True, ny, nx,
-                       interpret, p, s, r, beta)
+                       interpret, p, s, r, beta, out=out)
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "interpret"))
+def _axpby_inplace(ny: int, nx: int, interpret: bool, a, b, r, pv):
+    ty = _tile_y(ny, nx, 2, 4)
+    grid = ny // ty
+    spec = pl.BlockSpec((ty, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def kernel(s_ref, r_ref, p_ref, o):
+        o[:] = s_ref[0, 0] * r_ref[:] + s_ref[0, 1] * p_ref[:]
+
+    scal = jnp.reshape(
+        jnp.stack([jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)]),
+        (1, 2))
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM), spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        # block-local pointwise: writing over p's own pages skips the
+        # write-allocate of a fresh buffer (same discipline as update_xr_rr)
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(scal, r, pv)
+
+
+def axpby_inplace(a, b, r, pv, interpret: bool = False):
+    """a*r + b*p, written IN PLACE over ``pv``.
+
+    DONATION CONTRACT: ``pv`` must be dead after the call (the CG loop's
+    direction update; every prior reader of p is scheduled before it)."""
+    ny, nx = pv.shape
+    return _axpby_inplace(ny, nx, interpret, a, b, r, pv)
 
 
 @functools.partial(jax.jit, static_argnames=("ny", "nx", "interpret"))

@@ -27,6 +27,12 @@ from jax import lax
 from ..parallel.topology import Topology
 
 
+# bench hooks: enable/disable the round-3 buffer-reuse optimizations of the
+# fused-kernel CG loop independently (measured A/B on the tunnel device;
+# see RESULTS.md)
+_CG_OPT = {"alias_Ap": True, "inplace_axpby": True}
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CGResult:
@@ -50,8 +56,12 @@ def cg_solve(
     """Solve A x = b.  Returns (x, CGResult).
 
     ``matvec_pAp``, when given, is a fused kernel returning
-    (A p, <p, A p>) in one memory pass (see ops/pallas_cg.py); the x/r
-    update then also uses the fused variant emitting <r', r'>.
+    (A p, <p, A p>) in one memory pass (see ops/pallas_cg.py), accepting
+    an optional dead ``out`` buffer donated as Ap's storage; the x/r
+    update then uses the fused in-place variant emitting <r', r'> and the
+    direction update runs as an in-place fused axpby -- so a steady-state
+    iteration allocates NO fresh HBM buffers (every store lands in warm
+    pages; see the RESULTS.md write-allocate roofline).
 
     ``diag``, when given, enables Jacobi (diagonal) preconditioning with
     M = diag(diag): search directions use z = r / diag and the alpha/beta
@@ -84,36 +94,61 @@ def cg_solve(
         p = b
         rr = topo.dot(b, b)
 
-    def cond(carry):
-        x, r, p, rr, it, stop = carry
-        return jnp.logical_and(jnp.logical_not(stop), it < max_iters)
+    if matvec_pAp is not None:
+        from ..ops.pallas_cg import axpby_inplace, update_xr_rr
 
-    def body(carry):
-        x, r, p, rr, it, stop = carry
-        if matvec_pAp is not None:
-            from ..ops.pallas_cg import update_xr_rr
+        def cond(carry):
+            x, r, p, Ap, rr, it, stop = carry
+            return jnp.logical_and(jnp.logical_not(stop), it < max_iters)
 
-            Ap, pAp = matvec_pAp(p)
+        def body(carry):
+            x, r, p, Ap_dead, rr, it, stop = carry
+            # Ap_dead = last iteration's Ap buffer, dead since its x/r
+            # update -- donate it as this matvec's output storage
+            Ap, pAp = matvec_pAp(
+                p, out=Ap_dead if _CG_OPT["alias_Ap"] else None)
             # fused kernels emit shard-local partials; identity single-chip
             pAp = topo.allsum(pAp)
             alpha = rr / jnp.maximum(pAp, eps)
             x, r, rr_new = update_xr_rr(x, r, p, Ap, alpha)
             rr_new = topo.allsum(rr_new)
-        else:
+            done = rr_new < scaled_tol2
+            beta = rr_new / jnp.maximum(rr, eps)
+            if _CG_OPT["inplace_axpby"]:
+                # p' = r + beta p, in place over p; on the final (done)
+                # iteration the coefficients collapse to p' = p
+                a = jnp.where(done, 0.0, 1.0).astype(dtype)
+                bco = jnp.where(done, 1.0, beta).astype(dtype)
+                p = axpby_inplace(a, bco, r, p)
+            else:
+                p = jnp.where(done, p, r + beta * p)
+            it_next = jnp.where(done, it, it + 1)
+            return (x, r, p, Ap, rr_new, it_next, done)
+
+        init = (x, r, p, jnp.zeros_like(b), rr,
+                jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        x, r, p, _Ap, rr, it, stop = lax.while_loop(cond, body, init)
+    else:
+        def cond(carry):
+            x, r, p, rr, it, stop = carry
+            return jnp.logical_and(jnp.logical_not(stop), it < max_iters)
+
+        def body(carry):
+            x, r, p, rr, it, stop = carry
             Ap = matvec(p)
             pAp = topo.dot(p, Ap)
             alpha = rr / jnp.maximum(pAp, eps)
             x = x + alpha * p
             r = r - alpha * Ap
             rr_new = topo.dot(r, r)
-        done = rr_new < scaled_tol2
-        beta = rr_new / jnp.maximum(rr, eps)
-        p_next = jnp.where(done, p, r + beta * p)
-        it_next = jnp.where(done, it, it + 1)
-        return (x, r, p_next, rr_new, it_next, done)
+            done = rr_new < scaled_tol2
+            beta = rr_new / jnp.maximum(rr, eps)
+            p_next = jnp.where(done, p, r + beta * p)
+            it_next = jnp.where(done, it, it + 1)
+            return (x, r, p_next, rr_new, it_next, done)
 
-    init = (x, r, p, rr, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    x, r, p, rr, it, stop = lax.while_loop(cond, body, init)
+        init = (x, r, p, rr, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        x, r, p, rr, it, stop = lax.while_loop(cond, body, init)
 
     res = CGResult(
         error=jnp.sqrt(rr / N),
@@ -275,10 +310,21 @@ def cg_solve_fused(
         x, r, rr_new = update_xr_rr(x, r, p, Ap, alpha)
         done = rr_new < scaled_tol2
         beta = rr_new / jnp.maximum(rr, eps)
-        p2, Ap2, pAp2 = advance_p_matvec(r, p, beta)
-        p = jnp.where(done, p, p2)
-        Ap = jnp.where(done, Ap, Ap2)
-        pAp = jnp.where(done, pAp, pAp2)
+
+        # lax.cond, not full-array selects: the round-3 measurement showed
+        # three (ny, nx) jnp.where's per iteration cost more HBM traffic
+        # than the pass the fusion saves.  The keep-branch runs only on
+        # the final iteration; Ap (dead after the x/r update) is donated
+        # as the advanced matvec's output storage.
+        def advance(args):
+            r_, p_, Ap_, pAp_ = args
+            return advance_p_matvec(r_, p_, beta, out=Ap_)
+
+        def keep(args):
+            r_, p_, Ap_, pAp_ = args
+            return p_, Ap_, pAp_
+
+        p, Ap, pAp = lax.cond(done, keep, advance, (r, p, Ap, pAp))
         it_next = jnp.where(done, it, it + 1)
         return (x, r, p, Ap, pAp, rr_new, it_next, done)
 

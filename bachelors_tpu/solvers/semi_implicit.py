@@ -40,22 +40,28 @@ from ..parallel.topology import Topology
 from .cg import CGResult, cg_solve, cg_solve_fused
 
 # CG iteration variant gate (single-chip pallas path, no preconditioner):
-#   "pAp"   -- 3 HBM passes/iter: fused matvec+<p,Ap>, fused x/r update,
-#              XLA axpy for p = r + beta p
-#   "fused" -- 2 HBM passes/iter: the direction update is folded INTO the
-#              matvec (ops.pallas_cg.*_advance_p_matvec)
-# Measured on the tunnel TPU (round 3; see RESULTS.md semi-implicit notes):
-# in the cache-resident regime the extra loop carry makes "fused" slightly
-# slower, in the HBM-bound regime (working set >> on-chip cache) cutting
-# 3 passes to 2 wins.  Crossover sits between 2048^2 and 4096^2.
-SI_FUSED_CG_MIN_CELLS = 9_000_000
+#   "pAp"   -- fused matvec+<p,Ap> (dead-buffer-aliased output), fused
+#              in-place x/r update, fused in-place axpby for p = r + beta p
+#   "fused" -- the direction update folded INTO the matvec
+#              (ops.pallas_cg.*_advance_p_matvec), 2 kernels/iter
+# Measured single-process A/B on the tunnel TPU (round 3, RESULTS.md):
+# "fused" LOSES at every size -- 2048^2 0.52 vs 1.82, 4096^2 11.6 vs 12.5,
+# 8192^2 54.9 vs 62.7 ms/step -- the blended kernel's duplicated r/p halo
+# reads and bigger loop carry outweigh the saved pass even HBM-bound, so
+# the re-evaluation the round-2 verdict asked for keeps "pAp" everywhere.
+# (The verdict's 30% hypothesis assumed the axpy pass was pure overhead;
+# in practice the >=4096^2 step is pinned at the same HBM floor either
+# way -- removing passes measured 0% there, see the A/B table.)
+SI_FUSED_CG_MIN_CELLS = None  # no size engages the 2-pass variant
 _FORCE_CG_VARIANT = None  # bench/test hook: None | "pAp" | "fused"
 
 
 def _cg_variant(n_cells: int) -> str:
     if _FORCE_CG_VARIANT is not None:
         return _FORCE_CG_VARIANT
-    return "fused" if n_cells >= SI_FUSED_CG_MIN_CELLS else "pAp"
+    if SI_FUSED_CG_MIN_CELLS is not None and n_cells >= SI_FUSED_CG_MIN_CELLS:
+        return "fused"
+    return "pAp"
 
 
 def _lap_from_padded(vp, p: SimParams):
@@ -91,9 +97,10 @@ def _wants_jacobi(p: SimParams) -> bool:
 def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     """One semi-implicit step.  Returns (next_F, next_U, res_F, res_U)."""
     # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
-    # The deeper cg_solve_fused 2-pass variant engages by measured size
-    # gate (see SI_FUSED_CG_MIN_CELLS): cache-resident grids prefer the
-    # 3-pass pAp form (smaller loop carry), HBM-bound grids the 2-pass.
+    # The deeper cg_solve_fused 2-pass variant measured SLOWER at every
+    # size (see the gate comment above) and stays off; the wiring remains
+    # behind SI_FUSED_CG_MIN_CELLS/_FORCE_CG_VARIANT so future hardware
+    # can re-run the A/B (tests cover both variants in interpret mode).
     from ..ops.rhs import _resolve_backend
     from ..ops.pallas_cg import (aniso_advance_p_matvec, aniso_matvec_pAp,
                                  aniso_matvec_pAp_sharded,
@@ -143,17 +150,19 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
         A_Fc = CrossMatrix(C=1 + A_F.Cm1 * s, X=A_F.X * s, Y=A_F.Y * s,
                            boundary=p.Phi_boundary)
         if backend == "pallas":
-            mv_F = lambda v: cross_matvec_pAp(A_Fc, v)
-            adv_F = lambda r_, p_, b_: cross_advance_p_matvec(A_Fc, r_, p_, b_)
+            mv_F = lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out)
+            adv_F = lambda r_, p_, b_, out=None: cross_advance_p_matvec(
+                A_Fc, r_, p_, b_, out=out)
         else:  # pallas_sharded
-            mv_F = lambda v: cross_matvec_pAp_sharded(A_Fc, v, topo.axis_y,
-                                                      axis_x=topo.axis_x)
+            mv_F = lambda v, out=None: cross_matvec_pAp_sharded(
+                A_Fc, v, topo.axis_y, axis_x=topo.axis_x, out=out)
     elif backend == "pallas":
-        mv_F = lambda v: aniso_matvec_pAp(A_F, s, v)
-        adv_F = lambda r_, p_, b_: aniso_advance_p_matvec(A_F, s, r_, p_, b_)
+        mv_F = lambda v, out=None: aniso_matvec_pAp(A_F, s, v, out=out)
+        adv_F = lambda r_, p_, b_, out=None: aniso_advance_p_matvec(
+            A_F, s, r_, p_, b_, out=out)
     else:  # pallas_sharded
-        mv_F = lambda v: aniso_matvec_pAp_sharded(A_F, s, v, topo.axis_y,
-                                                  axis_x=topo.axis_x)
+        mv_F = lambda v, out=None: aniso_matvec_pAp_sharded(
+            A_F, s, v, topo.axis_y, axis_x=topo.axis_x, out=out)
     solver_fn = cg_solve
     if p.differentiable:
         from .cg import cg_solve_diff as solver_fn
@@ -182,16 +191,17 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
 
     A_U = CrossMatrix.implicit_heat(p)
     if backend == "pallas":
-        mv_U = lambda v: cross_matvec_pAp(A_U, v)
+        mv_U = lambda v, out=None: cross_matvec_pAp(A_U, v, out=out)
     elif backend == "pallas_sharded":
-        mv_U = lambda v: cross_matvec_pAp_sharded(A_U, v, topo.axis_y,
-                                                  axis_x=topo.axis_x)
+        mv_U = lambda v, out=None: cross_matvec_pAp_sharded(
+            A_U, v, topo.axis_y, axis_x=topo.axis_x, out=out)
     else:
         mv_U = None
     if backend == "pallas" and not p.differentiable and _cg_variant(U.size) == "fused":
         e_U, res_U = cg_solve_fused(
             lambda v: cross_matvec(A_U, v, topo), mv_U,
-            lambda r_, p_, b_: cross_advance_p_matvec(A_U, r_, p_, b_),
+            lambda r_, p_, b_, out=None: cross_advance_p_matvec(
+                A_U, r_, p_, b_, out=out),
             r0_U, tolerance=p.T_tolerance,
             max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo)
     else:

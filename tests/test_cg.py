@@ -145,4 +145,4 @@ def test_pcg_constant_diag_is_plain_cg(rng):
 def test_pcg_rejects_fused_combo():
     with pytest.raises(ValueError, match="mutually exclusive"):
         cg_solve(lambda v: v, np.ones(4), diag=np.ones(4),
-                 matvec_pAp=lambda v: (v, 1.0))
+                 matvec_pAp=lambda v, out=None: (v, 1.0))

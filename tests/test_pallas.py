@@ -207,21 +207,38 @@ class TestFusedCG:
         xs = rng.normal(size=(p.ny, p.nx)).astype(np.float32)
         b = cross_matvec(A, xs, topo)
 
-        # monkeypatch the in-loop fused update to interpret mode
+        # monkeypatch the in-loop fused kernels to interpret mode
         orig = pcg.update_xr_rr
-        pcg_update = lambda *a: orig(*a, interpret=True)
+        orig_axpby = pcg.axpby_inplace
         try:
-            cgmod_update = pcg.update_xr_rr
-            pcg.update_xr_rr = pcg_update
-            x_f, res_f = cg_solve(lambda v: cross_matvec(A, v, topo), b,
-                                  tolerance=1e-5, max_iters=100, topo=topo,
-                                  matvec_pAp=lambda v: cross_matvec_pAp(A, v, interpret=True))
+            pcg.update_xr_rr = lambda *a: orig(*a, interpret=True)
+            pcg.axpby_inplace = lambda *a: orig_axpby(*a, interpret=True)
+            x_f, res_f = cg_solve(
+                lambda v: cross_matvec(A, v, topo), b,
+                tolerance=1e-5, max_iters=100, topo=topo,
+                matvec_pAp=lambda v, out=None: cross_matvec_pAp(
+                    A, v, interpret=True, out=out))
         finally:
-            pcg.update_xr_rr = cgmod_update
+            pcg.update_xr_rr = orig
+            pcg.axpby_inplace = orig_axpby
         x_p, res_p = cg_solve(lambda v: cross_matvec(A, v, topo), b,
                               tolerance=1e-5, max_iters=100, topo=topo)
         np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_p),
                                    rtol=1e-3, atol=1e-5)
+
+    def test_axpby_inplace(self, rng):
+        from bachelors_tpu.ops.pallas_cg import axpby_inplace
+
+        r = rng.normal(size=(16, 128)).astype(np.float32)
+        pv = rng.normal(size=(16, 128)).astype(np.float32)
+        got = axpby_inplace(1.0, 0.43, jnp.asarray(r), jnp.asarray(pv),
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), r + 0.43 * pv,
+                                   rtol=1e-6, atol=1e-7)
+        # the done-iteration coefficient collapse: (0, 1) -> p unchanged
+        keep = axpby_inplace(0.0, 1.0, jnp.asarray(r), jnp.asarray(pv),
+                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(keep), pv)
 
     def test_advance_p_matvec(self, rng):
         from bachelors_tpu.ops.pallas_cg import cross_advance_p_matvec
@@ -260,9 +277,10 @@ class TestFusedCG:
         try:
             x_f, res_f = cg_solve_fused(
                 lambda v: cross_matvec(A, v, topo),
-                lambda v: cross_matvec_pAp(A, v, interpret=True),
-                lambda r, pv, beta: cross_advance_p_matvec(A, r, pv, beta,
-                                                           interpret=True),
+                lambda v, out=None: cross_matvec_pAp(A, v, interpret=True,
+                                                     out=out),
+                lambda r, pv, beta, out=None: cross_advance_p_matvec(
+                    A, r, pv, beta, interpret=True, out=out),
                 b, tolerance=1e-5, max_iters=100, topo=topo)
         finally:
             pcg.update_xr_rr = orig
@@ -821,17 +839,20 @@ class TestSiPrepare:
         orig_prep = prhs.si_prepare_pallas
         orig_cross = pcg.cross_matvec_pAp
         orig_update = pcg.update_xr_rr
+        orig_axpby = pcg.axpby_inplace
         try:
             rhs_mod._resolve_backend = lambda *a, **k: "pallas"
             prhs.si_prepare_pallas = lambda *a, **k: orig_prep(*a, **{**k, "interpret": True})
             pcg.cross_matvec_pAp = lambda *a, **k: orig_cross(*a, **{**k, "interpret": True})
             pcg.update_xr_rr = lambda *a, **k: orig_update(*a, **{**k, "interpret": True})
+            pcg.axpby_inplace = lambda *a, **k: orig_axpby(*a, **{**k, "interpret": True})
             got_F, got_U, gres_F, gres_U = semi_implicit_step_based(F, U, U, p, topo)
         finally:
             rhs_mod._resolve_backend = orig_resolve
             prhs.si_prepare_pallas = orig_prep
             pcg.cross_matvec_pAp = orig_cross
             pcg.update_xr_rr = orig_update
+            pcg.axpby_inplace = orig_axpby
 
         assert_match(got_F, want_F, atol=1e-6)
         assert_match(got_U, want_U, atol=1e-6)

@@ -18,6 +18,10 @@ from bachelors_tpu.parallel.sharded import (make_ensemble_stepper,
 requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
+# the virtual-mesh sweeps dominate the suite's wall time (~12 of ~16 min);
+# iterate with `pytest -m 'not slow'`, CI runs the full suite
+pytestmark = pytest.mark.slow
+
 
 def params(**kw):
     d = dict(nx=32, ny=32, L0=4.0, dt=1e-6, dtype="float64", backend="xla",
