@@ -898,6 +898,13 @@ def _splice_slabs(ext, g_lo, g_hi):
     return ext
 
 
+# A/B hook for the compensated Merson error combination (see comb() inside
+# the fullstep kernel).  Measured round 3: no floor improvement, so False.
+# NOTE: the kernel closure reads this at trace time -- flip it only with
+# fresh jits (tests/bench clear _fullstep_call's cache).
+COMPENSATED_ERR = False
+
+
 def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False,
                           ghost: bool = False):
     """One FULL integrator step (or adaptive attempt) per HBM pass.
@@ -1031,19 +1038,22 @@ def _make_fullstep_kernel(p: SimParams, scheme: str, interpret: bool = False,
             mid = slice(8, 8 + ty)
 
             def comb(c1, c3, c4, c5):
-                """0.2c1 - 0.9c3 + 0.8c4 - 0.1c5, compensated.
+                """0.2c1 - 0.9c3 + 0.8c4 - 0.1c5 (the Merson error body).
 
-                The combination cancels catastrophically (coefficients sum
-                to zero, stages agree to leading order), so its plain f32
-                evaluation adds ~5 ulp-of-|k| of its own noise on top of
-                the stages' inherent rounding.  Scaling by 10 makes every
-                coefficient integral: 2c1, 8c3, 8c4, c5 are EXACT binary
-                products and 9c3 splits exactly into 8c3 + c3, so a
-                TwoSum-compensated accumulation evaluates the combination
-                to double-f32 precision with ONE rounding at the final 0.1
-                scale.  ~30 extra VPU ops per cell per field out of ~500
-                for the attempt; measured floor effect in RESULTS.md
-                ("Adaptive-tolerance note")."""
+                Compensated variant (COMPENSATED_ERR): scaling by 10 makes
+                every coefficient integral -- 2c1, 8c3, 8c4, c5 are EXACT
+                binary products and 9c3 splits exactly into 8c3 + c3 -- so
+                a TwoSum cascade evaluates the combination to double-f32
+                precision with ONE rounding at the final 0.1 scale,
+                removing the evaluation's own cancellation noise.
+                MEASURED (round 3, RESULTS.md): the f32 noise floor does
+                NOT move (settle tau ~2.6e-7 vs ~2.3e-7 at 512^2/5e-9) --
+                the floor is the STAGES' own rounding, ~1 ulp of max|k|,
+                which the round-2 whole-attempt fusion already reached --
+                so the default stays on the plain form and the compensated
+                path is kept only as an A/B hook."""
+                if not COMPENSATED_ERR:
+                    return 0.2 * c1 - 0.9 * c3 + 0.8 * c4 - 0.1 * c5
                 terms = (-8.0 * c3, -c3, 8.0 * c4, -c5)
                 s = 2.0 * c1
                 comp = jnp.zeros_like(s)

@@ -723,6 +723,33 @@ def test_rkm_attempt_matches_staged_oracle(bc, rng):
     np.testing.assert_allclose(float(eU), want_eU, rtol=2e-4)
 
 
+def test_rkm_attempt_compensated_err_hook(rng, monkeypatch):
+    """The COMPENSATED_ERR A/B hook: identical state update, error estimate
+    equal to the plain form within f32 combination rounding (the compensated
+    evaluation is exact up to the final 0.1 scale)."""
+    import bachelors_tpu.ops.pallas_rhs as prhs
+
+    p = params(BoundaryType.NEUMANN, ny=32, S=0.3)
+    (F, U), = rand_states(rng, p, 1)
+    F = jnp.asarray(F, jnp.float32)
+    U = jnp.asarray(U, jnp.float32)
+    tau = 3.7e-6
+    nF0, nU0, eF0, eU0 = prhs.rkm_attempt_pallas(F, U, tau, p, fu=0.03,
+                                                 interpret=True)
+    monkeypatch.setattr(prhs, "COMPENSATED_ERR", True)
+    prhs._fullstep_call.clear_cache()
+    try:
+        nF1, nU1, eF1, eU1 = prhs.rkm_attempt_pallas(F, U, tau, p, fu=0.03,
+                                                     interpret=True)
+    finally:
+        # drop programs traced with the flag on before it is restored
+        prhs._fullstep_call.clear_cache()
+    np.testing.assert_array_equal(np.asarray(nF0), np.asarray(nF1))
+    np.testing.assert_array_equal(np.asarray(nU0), np.asarray(nU1))
+    np.testing.assert_allclose(float(eF1), float(eF0), rtol=1e-3)
+    np.testing.assert_allclose(float(eU1), float(eU0), rtol=1e-3)
+
+
 class TestSiPrepare:
     """Fused semi-implicit prepare kernel (r0_F, dt*lap(U)[, s]) vs the XLA
     oracle `models.allen_cahn.semi_implicit_prepare` (interpret mode)."""
