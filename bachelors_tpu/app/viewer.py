@@ -159,6 +159,9 @@ def run_interactive(cfg: SimConfig) -> None:
     from .driver import _initial_state, _save_snapshot
 
     p = cfg.params
+    if p.dtype == "float64" and not jax.config.read("jax_enable_x64"):
+        # same contract as run_simulation: f64 configs need x64 semantics
+        jax.config.update("jax_enable_x64", True)
     state = _initial_state(cfg)
     stepper_box = [jax.jit(make_stepper(p))]
     vs = ViewerState()

@@ -196,8 +196,18 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
             if not os.path.exists(path):
                 generate_configs(outdir, [solver], [scale], dtype=dtype)
             p = load_config(path).params
-            runs = [run_config_file(path, make_folder=False)
-                    for _ in range(max(repeat, 1))]
+            try:
+                runs = [run_config_file(path, make_folder=False)
+                        for _ in range(max(repeat, 1))]
+            except Exception as e:  # noqa: BLE001 - reference skip-on-error
+                # record the failure and keep the ladder going (a device
+                # fault on one cell must not void the whole artifact)
+                log.error(f"{solver} {mesh}^2 failed: {e}")
+                results[solver][mesh] = dict(
+                    error=str(e)[:300], dtype=p.dtype,
+                    tolerance=min(p.Phi_tolerance, p.T_tolerance),
+                    config=os.path.basename(path))
+                continue
             res = min(runs, key=lambda r: r.runtime)
             results[solver][mesh] = dict(
                 runtime_s=res.runtime, iters=res.iters,
