@@ -317,6 +317,15 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     # steps (e.g. f32 with a tolerance below the noise floor), and a single
     # unbounded while_loop dispatch can exceed runtime watchdogs
     ADAPTIVE_CHUNK = 50_000
+    # Hard wall-clock budget per device EXECUTION: single executions beyond
+    # ~30-45 s trip the TPU runtime's watchdog with a fatal UNAVAILABLE
+    # that wedges the whole process (observed round 3: f64 RK4 2048^2 at
+    # 8000 steps/dispatch ~ 48 s faults; 12-13 s dispatches run fine).
+    # A one-time 16-step probe per advancer estimates the step cost; the
+    # chunked dispatches below then QUEUE asynchronously -- no intermediate
+    # host syncs, so the only cost is one ~25 ms probe fetch per cold
+    # advancer and sub-ms per extra dispatch.
+    MAX_DISPATCH_S = 8.0
 
     # The jitted advance functions are cached per (params, topology, sinks):
     # re-running the same config (benchmark repeats, multi-config sessions)
@@ -400,6 +409,14 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
     def _scalar(x):
         return float(np.asarray(x).reshape(-1)[0])
 
+    def _dispatch_cap() -> int:
+        # steps per dispatch staying under the watchdog budget; pessimistic
+        # (the ~25 ms probe fetch is folded into the estimate, so cheap
+        # steps get smaller chunks -- harmless, extra dispatches queue
+        # asynchronously at sub-ms each)
+        sc = adv.get("step_cost")
+        return max(16, int(MAX_DISPATCH_S / sc)) if sc else 1 << 30
+
     for target in events:
         while True:
             # For fixed dt the authoritative time is iter*dt in host f64
@@ -421,10 +438,29 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                     # exact host-side step count (reference trigger
                     # semantics: first iter with t >= target)
                     n = max(int(np.ceil((target - t_now) / p.dt - 1e-9)), 1)
-                    state = adv_n(state, n)
-                    host_iter += n
+                    if adv.get("step_cost") is None and n > 64:
+                        t0p = time.perf_counter()
+                        state = adv_n(state, 16)
+                        _ = _scalar(state.t)  # true barrier (tunnel)
+                        adv["step_cost"] = max(
+                            (time.perf_counter() - t0p) / 16, 1e-7)
+                        host_iter += 16
+                        n -= 16
+                    cap = _dispatch_cap()
+                    while n > 0:
+                        m = min(n, cap)
+                        state = adv_n(state, m)
+                        host_iter += m
+                        n -= m
                 else:
-                    state = adv_until(state, target, ADAPTIVE_CHUNK)
+                    if adv.get("step_cost") is None:
+                        t0p = time.perf_counter()
+                        state = adv_until(state, target, 16)
+                        _ = _scalar(state.t)
+                        adv["step_cost"] = max(
+                            (time.perf_counter() - t0p) / 16, 1e-7)
+                    state = adv_until(
+                        state, target, min(ADAPTIVE_CHUNK, _dispatch_cap()))
             else:
                 # stats path: bounded scan chunks emitting per-step stats
                 if fixed_dt:
@@ -432,11 +468,15 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 else:
                     tau_min = float(np.asarray(state.tau).reshape(-1).min())
                     n = max(int(np.ceil((target - t_now) / max(tau_min, 1e-30))), 1)
-                n = int(min(max(n, 1), 2048))
+                n = int(min(max(n, 1), 2048, _dispatch_cap()))
+                t0p = time.perf_counter()
                 state, stats, mask = adv_collect(state, n, target)
                 # one bulk transfer per chunk (the tunnel's round-trip is
                 # ~25 ms; per-leaf per-row fetches would dominate the run)
                 stats = jax.device_get(stats)
+                if adv.get("step_cost") is None:
+                    adv["step_cost"] = max(
+                        (time.perf_counter() - t0p) / max(n, 1), 1e-7)
                 mask = np.asarray(mask)
                 nrows = mask.shape[0]  # adv_collect rounds n up internally
                 mask = mask.reshape(nrows, -1)  # (n,) -> (n, 1|B)
