@@ -439,13 +439,18 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                     # semantics: first iter with t >= target)
                     n = max(int(np.ceil((target - t_now) / p.dt - 1e-9)), 1)
                     if adv.get("step_cost") is None and n > 64:
-                        t0p = time.perf_counter()
+                        # first call compiles -- run it untimed, then time a
+                        # second 16-step batch (else compile time lands in
+                        # the estimate and clamps every dispatch to 16)
                         state = adv_n(state, 16)
                         _ = _scalar(state.t)  # true barrier (tunnel)
+                        t0p = time.perf_counter()
+                        state = adv_n(state, 16)
+                        _ = _scalar(state.t)
                         adv["step_cost"] = max(
                             (time.perf_counter() - t0p) / 16, 1e-7)
-                        host_iter += 16
-                        n -= 16
+                        host_iter += 32
+                        n -= 32
                     cap = _dispatch_cap()
                     while n > 0:
                         m = min(n, cap)
@@ -454,6 +459,8 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                         n -= m
                 else:
                     if adv.get("step_cost") is None:
+                        state = adv_until(state, target, 16)  # compile, untimed
+                        _ = _scalar(state.t)
                         t0p = time.perf_counter()
                         state = adv_until(state, target, 16)
                         _ = _scalar(state.t)
@@ -475,8 +482,12 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
                 # ~25 ms; per-leaf per-row fetches would dominate the run)
                 stats = jax.device_get(stats)
                 if adv.get("step_cost") is None:
-                    adv["step_cost"] = max(
-                        (time.perf_counter() - t0p) / max(n, 1), 1e-7)
+                    if adv.get("_collect_warm"):
+                        adv["step_cost"] = max(
+                            (time.perf_counter() - t0p) / max(n, 1), 1e-7)
+                    else:
+                        # first chunk includes the scan compile; skip it
+                        adv["_collect_warm"] = True
                 mask = np.asarray(mask)
                 nrows = mask.shape[0]  # adv_collect rounds n up internally
                 mask = mask.reshape(nrows, -1)  # (n,) -> (n, 1|B)
