@@ -104,6 +104,37 @@ class TestSweep:
         assert cfg_si.params.Phi_tolerance == pytest.approx(5e-9)
 
 
+class TestReport:
+    def test_ladder_table_renders(self):
+        from bachelors_tpu.bench.report import ladder_table
+
+        rep = {
+            "explicit": {"512": dict(runtime_s=0.7, iters=8000,
+                                     dtype="float64", tolerance=5e-9)},
+            "explicit-rk4-adaptive": {
+                "512": dict(runtime_s=5.0, iters=9510, dtype="float64",
+                            tolerance=5e-9),
+                "1024": dict(error="UNAVAILABLE: boom", dtype="float64",
+                             tolerance=5e-9)},
+        }
+        lines = ladder_table(rep, "## t")
+        text = "\n".join(lines)
+        assert "| 512² | 0.70 (0.9x) | 5.00 (1.1x) |" in text
+        assert "error: UNAVAILABLE" in text
+        # the adaptive step-count note names the tolerance and the f64 basis
+        assert "9510-9510 adaptive steps at tolerance 5e-09" in text
+        assert "f64, the reference setting" in text
+
+    def test_ladder_table_f32_note_flags_step_count_mix(self):
+        from bachelors_tpu.bench.report import ladder_table
+
+        rep = {"explicit-rk4-adaptive": {
+            "512": dict(runtime_s=0.3, iters=1934, dtype="float32",
+                        tolerance=1e-5)}}
+        text = "\n".join(ladder_table(rep, "## t"))
+        assert "mix step count and step cost" in text
+
+
 class TestNoisyInitialConditions:
     def test_noise_applied_and_reproducible(self):
         import bachelors_tpu as bt
