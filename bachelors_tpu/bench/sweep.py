@@ -228,11 +228,48 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
     return results
 
 
+def verify_report(report_path: str, dtype: str = "float32") -> List[str]:
+    """Check a committed sweep artifact against the CURRENT generator:
+    every row's recorded (config name, tolerance, dtype) must match what
+    ``generate_configs`` would emit today.  Returns a list of mismatch
+    descriptions (empty = reproducible); needs no hardware.
+
+    This is the guard against the round-2 defect where the committed
+    artifact was produced with an out-of-band tolerance override the
+    shipped generator could not reproduce."""
+    import tempfile
+
+    with open(report_path) as f:
+        report = json.load(f)
+    problems = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for solver, rows in report.items():
+            for mesh, row in rows.items():
+                scale = int(mesh) / BASE_MESH
+                generate_configs(tmp, [solver], [scale], dtype=dtype)
+                path = os.path.join(tmp, config_name(solver, scale, dtype))
+                from ..io.config import load_config
+
+                p = load_config(path).params
+                want_tol = min(p.Phi_tolerance, p.T_tolerance)
+                if row.get("config") != os.path.basename(path):
+                    problems.append(f"{solver}/{mesh}: config name "
+                                    f"{row.get('config')} != {os.path.basename(path)}")
+                if row.get("dtype") != p.dtype:
+                    problems.append(f"{solver}/{mesh}: dtype {row.get('dtype')}"
+                                    f" != generator's {p.dtype}")
+                tol = row.get("tolerance")
+                if tol is None or abs(tol - want_tol) > 1e-12 * want_tol:
+                    problems.append(f"{solver}/{mesh}: tolerance {tol} != "
+                                    f"generator's {want_tol}")
+    return problems
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("command", choices=["generate", "run"])
+    ap.add_argument("command", choices=["generate", "run", "verify"])
     ap.add_argument("outdir", nargs="?", default="benchmark_configs")
     ap.add_argument("--solver", action="append", default=None)
     ap.add_argument("--scale", action="append", type=float, default=None)
@@ -247,6 +284,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     scales = args.scale or list(SCALES)
     if args.command == "generate":
         generate_configs(args.outdir, solvers, scales, dtype=args.dtype)
+    elif args.command == "verify":
+        # `verify ARTIFACT.json [--dtype ...]`: outdir doubles as the path
+        problems = verify_report(args.outdir, dtype=args.dtype)
+        for pr in problems:
+            log.error(pr)
+        if not problems:
+            log.okay(f"{args.outdir}: every row matches the shipped generator")
+        return 1 if problems else 0
     else:
         run_sweep(args.outdir, solvers, scales, report_path=args.report,
                   dtype=args.dtype)

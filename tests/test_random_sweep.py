@@ -104,6 +104,31 @@ class TestSweep:
         assert cfg_si.params.Phi_tolerance == pytest.approx(5e-9)
 
 
+class TestVerifyArtifact:
+    def test_verify_accepts_generator_consistent_rows(self, tmp_path):
+        import json
+
+        rep = {"explicit": {"512": dict(
+            runtime_s=1.0, iters=8000, dtype="float32", tolerance=5e-9,
+            config="config_explicit_512.ini")}}
+        path = tmp_path / "a.json"
+        path.write_text(json.dumps(rep))
+        assert sweep.verify_report(str(path)) == []
+
+    def test_verify_flags_out_of_band_tolerance(self, tmp_path):
+        """The round-2 defect class: a recorded tolerance the shipped
+        generator would not emit must be reported."""
+        import json
+
+        rep = {"explicit-rk4-adaptive": {"512": dict(
+            runtime_s=1.0, iters=1934, dtype="float32", tolerance=5e-9,
+            config="config_explicit-rk4-adaptive_512.ini")}}
+        path = tmp_path / "b.json"
+        path.write_text(json.dumps(rep))
+        problems = sweep.verify_report(str(path))
+        assert any("tolerance" in p for p in problems)
+
+
 class TestReport:
     def test_ladder_table_renders(self):
         from bachelors_tpu.bench.report import ladder_table
