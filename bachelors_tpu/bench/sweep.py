@@ -187,11 +187,34 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
         log.info("warmup run (untimed)")
         run_config_file(path, make_folder=False)
 
+    def _flush():
+        # incremental: a device fault / watchdog kill mid-ladder must not
+        # discard the rows already measured
+        if report_path:
+            with open(report_path, "w") as f:
+                json.dump(results, f, indent=2)
+
     results: Dict[str, Dict[int, dict]] = {}
+    if report_path and os.path.exists(report_path):
+        # resume a partially-measured ladder (rerun only the missing or
+        # errored rows)
+        try:
+            with open(report_path) as f:
+                results = {s: {int(m): r for m, r in rows.items()}
+                           for s, rows in json.load(f).items()}
+            done = sum(1 for rows in results.values()
+                       for r in rows.values() if "error" not in r)
+            if done:
+                log.info(f"resuming ladder: {done} rows already measured "
+                         f"in {report_path}")
+        except Exception:
+            results = {}
     for solver in solvers:
-        results[solver] = {}
+        results.setdefault(solver, {})
         for scale in scales:
             mesh = int(BASE_MESH * scale)
+            if "error" not in results[solver].get(mesh, {"error": 1}):
+                continue  # resumed row already measured
             path = os.path.join(outdir, config_name(solver, scale, dtype))
             if not os.path.exists(path):
                 generate_configs(outdir, [solver], [scale], dtype=dtype)
@@ -207,6 +230,7 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
                     error=str(e)[:300], dtype=p.dtype,
                     tolerance=min(p.Phi_tolerance, p.T_tolerance),
                     config=os.path.basename(path))
+                _flush()
                 continue
             res = min(runs, key=lambda r: r.runtime)
             results[solver][mesh] = dict(
@@ -221,9 +245,9 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
                      f"{min(p.Phi_tolerance, p.T_tolerance):g}]: "
                      f"{res.runtime:.2f}s "
                      f"({res.avg_step_ms:.3f} ms/step; cold {runs[0].runtime:.2f}s)")
+            _flush()
     if report_path:
-        with open(report_path, "w") as f:
-            json.dump(results, f, indent=2)
+        _flush()
         log.okay(f"wrote {report_path}")
     return results
 
