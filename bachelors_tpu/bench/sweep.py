@@ -114,18 +114,32 @@ snapshot_initial_conditions = 0
 {tpu_section}"""
 
 
-def config_name(solver: str, scale: float, dtype: str = "float32") -> str:
+def config_name(solver: str, scale: float, dtype: str = "float32",
+                backend: Optional[str] = None) -> str:
     mesh = int(BASE_MESH * scale)
     suffix = "_f64" if dtype == "float64" else ""
+    if backend:
+        suffix += f"_{backend}"
     return f"config_{solver}_{mesh}{suffix}.ini"
 
 
 def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
                      scales: Sequence[float] = SCALES,
-                     snapshots: int = 0, dtype: str = "float32") -> List[str]:
+                     snapshots: int = 0, dtype: str = "float32",
+                     backend: Optional[str] = None) -> List[str]:
+    """``backend`` pins `[tpu] backend` in the emitted configs.  The f64
+    ladder's default (auto) engages the df64 fused kernels for the
+    explicit solvers; ``backend="xla"`` pins XLA's true-f64 software
+    emulation -- the conservative equal-precision comparison
+    (sweep_r3_f64_xla.json)."""
     os.makedirs(outdir, exist_ok=True)
-    tpu_section = ("" if dtype == "float32"
-                   else f"\n[tpu]\ndtype = {dtype}\n")
+    tpu_lines = []
+    if dtype != "float32":
+        tpu_lines.append(f"dtype = {dtype}")
+    if backend:
+        tpu_lines.append(f"backend = {backend}")
+    tpu_section = ("" if not tpu_lines
+                   else "\n[tpu]\n" + "\n".join(tpu_lines) + "\n")
     paths = []
     for solver in solvers:
         for scale in scales:
@@ -136,7 +150,8 @@ def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
                                     prefix=f"{solver}_{mesh}_",
                                     tolerance=tolerance_for(solver, dtype),
                                     tpu_section=tpu_section)
-            path = os.path.join(outdir, config_name(solver, scale, dtype))
+            path = os.path.join(outdir, config_name(solver, scale, dtype,
+                                                    backend))
             with open(path, "w") as f:
                 f.write(text)
             paths.append(path)
@@ -148,7 +163,7 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
               scales: Sequence[float] = SCALES,
               report_path: Optional[str] = None,
               warmup: bool = True, repeat: int = 2,
-              dtype: str = "float32") -> Dict:
+              dtype: str = "float32", backend: Optional[str] = None) -> Dict:
     """Run the ladder, returning {solver: {mesh: {runtime, iters, ...}}}.
 
     Mirrors the reference's measured artifact
@@ -182,8 +197,10 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
         wscale = 0.125
         while wscale in scales:
             wscale /= 2
-        path = os.path.join(outdir, config_name(solvers[0], wscale, dtype))
-        generate_configs(outdir, [solvers[0]], [wscale], dtype=dtype)
+        path = os.path.join(outdir, config_name(solvers[0], wscale, dtype,
+                                                backend))
+        generate_configs(outdir, [solvers[0]], [wscale], dtype=dtype,
+                         backend=backend)
         log.info("warmup run (untimed)")
         run_config_file(path, make_folder=False)
 
@@ -201,7 +218,8 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
         try:
             with open(report_path) as f:
                 results = {s: {int(m): r for m, r in rows.items()}
-                           for s, rows in json.load(f).items()}
+                           for s, rows in json.load(f).items()
+                           if not s.startswith("_")}  # "_note" etc.
             done = sum(1 for rows in results.values()
                        for r in rows.values() if "error" not in r)
             if done:
@@ -215,9 +233,11 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
             mesh = int(BASE_MESH * scale)
             if "error" not in results[solver].get(mesh, {"error": 1}):
                 continue  # resumed row already measured
-            path = os.path.join(outdir, config_name(solver, scale, dtype))
+            path = os.path.join(outdir, config_name(solver, scale, dtype,
+                                                    backend))
             if not os.path.exists(path):
-                generate_configs(outdir, [solver], [scale], dtype=dtype)
+                generate_configs(outdir, [solver], [scale], dtype=dtype,
+                                 backend=backend)
             p = load_config(path).params
             try:
                 runs = [run_config_file(path, make_folder=False)
@@ -228,6 +248,7 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
                 log.error(f"{solver} {mesh}^2 failed: {e}")
                 results[solver][mesh] = dict(
                     error=str(e)[:300], dtype=p.dtype,
+                    backend=p.backend,
                     tolerance=min(p.Phi_tolerance, p.T_tolerance),
                     config=os.path.basename(path))
                 _flush()
@@ -239,6 +260,7 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
                 runtime_cold_s=runs[0].runtime,
                 cell_updates_per_s=mesh * mesh * res.iters / res.runtime,
                 dtype=p.dtype,
+                backend=p.backend,
                 tolerance=min(p.Phi_tolerance, p.T_tolerance),
                 config=os.path.basename(path))
             log.info(f"{solver} {mesh}^2 [{p.dtype}, tol "
@@ -252,7 +274,8 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
     return results
 
 
-def verify_report(report_path: str, dtype: str = "float32") -> List[str]:
+def verify_report(report_path: str, dtype: str = "float32",
+                  backend: Optional[str] = None) -> List[str]:
     """Check a committed sweep artifact against the CURRENT generator:
     every row's recorded (config name, tolerance, dtype) must match what
     ``generate_configs`` would emit today.  Returns a list of mismatch
@@ -268,10 +291,14 @@ def verify_report(report_path: str, dtype: str = "float32") -> List[str]:
     problems = []
     with tempfile.TemporaryDirectory() as tmp:
         for solver, rows in report.items():
+            if solver.startswith("_"):
+                continue  # artifact metadata ("_note")
             for mesh, row in rows.items():
                 scale = int(mesh) / BASE_MESH
-                generate_configs(tmp, [solver], [scale], dtype=dtype)
-                path = os.path.join(tmp, config_name(solver, scale, dtype))
+                generate_configs(tmp, [solver], [scale], dtype=dtype,
+                                 backend=backend)
+                path = os.path.join(tmp, config_name(solver, scale, dtype,
+                                                     backend))
                 from ..io.config import load_config
 
                 p = load_config(path).params
@@ -282,6 +309,10 @@ def verify_report(report_path: str, dtype: str = "float32") -> List[str]:
                 if row.get("dtype") != p.dtype:
                     problems.append(f"{solver}/{mesh}: dtype {row.get('dtype')}"
                                     f" != generator's {p.dtype}")
+                if row.get("backend", p.backend) != p.backend:
+                    problems.append(f"{solver}/{mesh}: backend "
+                                    f"{row.get('backend')} != generator's "
+                                    f"{p.backend}")
                 tol = row.get("tolerance")
                 if tol is None or abs(tol - want_tol) > 1e-12 * want_tol:
                     problems.append(f"{solver}/{mesh}: tolerance {tol} != "
@@ -301,16 +332,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"],
                     help="ladder precision; float64 emits [tpu] dtype "
-                    "configs at the reference's 5e-9 tolerance (XLA path)")
+                    "configs at the reference's 5e-9 tolerance (df64 "
+                    "fused kernels for the explicit solvers by default)")
+    ap.add_argument("--backend", default=None, choices=["pallas", "xla"],
+                    help="pin [tpu] backend in the generated configs "
+                    "(xla = true-f64 software emulation ladder)")
     args = ap.parse_args(argv)
 
     solvers = args.solver or list(SOLVERS)
     scales = args.scale or list(SCALES)
     if args.command == "generate":
-        generate_configs(args.outdir, solvers, scales, dtype=args.dtype)
+        generate_configs(args.outdir, solvers, scales, dtype=args.dtype,
+                         backend=args.backend)
     elif args.command == "verify":
         # `verify ARTIFACT.json [--dtype ...]`: outdir doubles as the path
-        problems = verify_report(args.outdir, dtype=args.dtype)
+        problems = verify_report(args.outdir, dtype=args.dtype,
+                                 backend=args.backend)
         for pr in problems:
             log.error(pr)
         if not problems:
@@ -318,7 +355,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1 if problems else 0
     else:
         run_sweep(args.outdir, solvers, scales, report_path=args.report,
-                  dtype=args.dtype)
+                  dtype=args.dtype, backend=args.backend)
     return 0
 
 

@@ -1,0 +1,429 @@
+"""Fused df64 (double-f32) whole-integrator Pallas kernels.
+
+The TPU has no f64 ALU; XLA emulates float64 per-op in software, leaving
+every intermediate in HBM: the measured f64 ladder (sweep_r3_f64.json)
+pays ~24x over f32 for Euler at 2048^2 and loses to the A100 it is
+benchmarked against.  These kernels instead carry every field as a PAIR
+of f32 planes (hi, lo) -- `ops/df64.py`, ~2^-48 relative precision, vs
+f64's 2^-53 and far below the reference's 5e-9 tolerances -- and run the
+WHOLE integrator step in one HBM pass, exactly like the f32
+whole-integrator kernels (`pallas_rhs._make_fullstep_kernel`): the RK
+stages never touch HBM, and the VPU does ~10-20 f32 ops per df64 op
+instead of XLA's per-op emulation + per-op HBM round trips.
+
+Precision contract: the reference's "f64" itself evaluates sqrt/cos in
+f32 (`simulation.cu` uses sqrtf/cosf with Real=double), so the df64
+path's refined sqrt (~2^-47) meets or beats the precision of every
+number the reference's f64 solver actually computes.  The true-f64 XLA
+path remains available (`[tpu] backend = xla`) and is the oracle these
+kernels are tested against (tests/test_pallas_dd.py).
+
+Scope (v1): single-chip, isotropic (S == 0 -- the entire benchmark
+family) or integer-m0 anisotropy is NOT yet supported, and no
+corrector-guess (needs df64 division).  Multi-chip f64 rides the XLA
+path.  Reference parity: the solvers dispatched here implement
+`simulation.cu:283-497` (Euler/RK4/Merson) at Real=double.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import BoundaryType, SimParams
+from . import df64 as dd
+from .pallas_rhs import (_EULER2_BUDGET, _col_mask, _roll, _specs, _tile_y)
+
+EULER_DD_BLOCK_STEPS = 4  # fused Euler sub-steps per HBM pass (depth <= 8)
+
+# test hooks: force a small row tile so interpret-mode tests can exercise
+# multi-program grids (halo seams) on small arrays; force interpret mode so
+# the SOLVER-level df64 path (wants_dd + while_loop integration) can run on
+# CPU under pytest with backend='pallas'
+TILE_OVERRIDE = None
+FORCE_INTERPRET = False
+
+
+def _tile_dd(ny: int, nx: int) -> int:
+    if TILE_OVERRIDE:
+        return TILE_OVERRIDE if ny % TILE_OVERRIDE == 0 else 0
+    # the rkm stage chain holds ~5 live df64 field pairs = 20 f32 planes
+    # on (ty+16)-row extended blocks
+    return min(_tile_y(ny, nx, 12, 4, budget=_EULER2_BUDGET), 256)
+
+
+def supports_dd(p: SimParams) -> bool:
+    """Whether the df64 fused kernels handle this config (else XLA f64)."""
+    if p.dtype != "float64":
+        return False
+    if p.S != 0.0 or p.do_corrector_guess:
+        return False
+    if p.nx % 128 != 0 or p.ny % 8 != 0 or p.ny < 16:
+        return False
+    return _tile_dd(p.ny, p.nx) >= 8
+
+
+def wants_dd(p: SimParams, topo) -> bool:
+    """Backend gate for the df64 path: engages under the same discipline
+    as the f32 fused kernels (`ops.rhs._resolve_backend`) -- auto on real
+    TPU, forced by backend='pallas', opted out by backend='xla' (which
+    keeps true XLA f64 emulation, the oracle)."""
+    from .rhs import _on_tpu_or_forced
+
+    return (p.backend != "xla" and not topo.is_sharded
+            and supports_dd(p) and _on_tpu_or_forced(p))
+
+
+def _make_physics_dd(p: SimParams):
+    """df64 twin of `pallas_rhs._make_physics` (isotropic family)."""
+    assert p.S == 0.0 and not p.do_corrector_guess
+    dx, dy = p.dx, p.dy
+    inv_2dx, inv_2dy = 1.0 / (2 * dx), 1.0 / (2 * dy)
+    inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
+    k0_factor = p.a / (p.xi * p.xi * p.alpha)
+    k2_factor = p.b * p.beta / p.alpha
+    k1_factor = 1.0 / p.alpha
+
+    def phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu):
+        lap_F = dd.add(
+            dd.mul_const(dd.add(dd.add(F_W, F_E), dd.mul_pow2(Fc, -2.0)),
+                         inv_dx2),
+            dd.mul_const(dd.add(dd.add(F_S, F_N), dd.mul_pow2(Fc, -2.0)),
+                         inv_dy2))
+        lap_U = dd.add(
+            dd.mul_const(dd.add(dd.add(U_W, U_E), dd.mul_pow2(Uc, -2.0)),
+                         inv_dx2),
+            dd.mul_const(dd.add(dd.add(U_S, U_N), dd.mul_pow2(Uc, -2.0)),
+                         inv_dy2))
+        gx = dd.mul_const(dd.sub(F_E, F_W), inv_2dx)
+        gy = dd.mul_const(dd.sub(F_N, F_S), inv_2dy)
+        if p.f32_transcendentals:
+            # reference semantics: |grad| in f32 even at Real=double
+            # (`simulation.cu:14-17`; `models/allen_cahn.anisotropy_factor`)
+            r2 = gx[0] * gx[0] + gy[0] * gy[0]
+            grad_norm = (jnp.sqrt(r2), jnp.zeros_like(r2))
+        else:
+            grad_norm = dd.sqrt0(dd.add(dd.sqr(gx), dd.sqr(gy)))
+        k2 = dd.mul_const(grad_norm, k2_factor)
+        k0 = dd.mul_const(
+            dd.mul(dd.mul(Fc, dd.add_f32(dd.neg(Fc), 1.0)),
+                   dd.cadd(Fc, -0.5)), k0_factor)
+        k1_lap = dd.mul_const(lap_F, k1_factor)
+        dt_F = dd.sub(dd.add(k1_lap, k0), dd.mul(k2, dd.cadd(Uc, -p.Tm)))
+        dt_U = dd.add(dd.add(lap_U, dd.mul_const(dt_F, p.L)), fu)
+        return dt_F, dt_U
+
+    return phys
+
+
+def _shift_x_dd(A, bc: BoundaryType, dv):
+    """df64 east/west neighbors: `pallas_rhs._shift_x` per component, with
+    the Dirichlet mirror image computed in df64."""
+    hi, lo = A
+    nx = hi.shape[1]
+    east = (_roll(hi, -1, 1), _roll(lo, -1, 1))
+    west = (_roll(hi, 1, 1), _roll(lo, 1, 1))
+    if bc == BoundaryType.PERIODIC:
+        return east, west
+    if bc == BoundaryType.NEUMANN:
+        img = A
+    else:  # DIRICHLET: ghost = 2*dv - edge
+        img = dd.sub(dd.mul_pow2(dv, 2.0), A)
+    me, mw = _col_mask(hi, nx - 1), _col_mask(hi, 0)
+    east = (jnp.where(me, img[0], east[0]), jnp.where(me, img[1], east[1]))
+    west = (jnp.where(mw, img[0], west[0]), jnp.where(mw, img[1], west[1]))
+    return east, west
+
+
+def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
+    """df64 twin of `pallas_rhs._make_fullstep_kernel` + the fused
+    multi-step Euler mode.
+
+      scheme="euler": T forward-Euler steps per pass (depth T <= 8).
+      scheme="rk4":   one classic RK4 step (stage depth 4).
+      scheme="rkm":   one Merson attempt at the SMEM-supplied df64 tau;
+                      also writes per-program partial maxima of the error
+                      combination |0.2k1 - 0.9k3 + 0.8k4 - 0.1k5| (f32 --
+                      the estimate is compared against tolerances orders
+                      of magnitude above df64 noise).
+
+    Ref layout: scal (1,6) SMEM [d_hi, d_lo, fu_hi, fu_lo, tau_hi,
+    tau_lo]; 12 field blocks (hi planes then lo planes, each as
+    center + 8-row halo groups); outputs [Fh, Uh, Fl, Ul (+ errF, errU)].
+    """
+    assert scheme in ("euler", "rk4", "rkm")
+    f_bc, u_bc = p.Phi_boundary, p.T_boundary
+    phys = _make_physics_dd(p)
+
+    def kernel(*refs):
+        (scal, Fhc, Fhn, Fhs, Uhc, Uhn, Uhs,
+         Flc, Fln, Fls, Ulc, Uln, Uls) = refs[:13]
+        outs = refs[13:]
+        d = (scal[0, 0], scal[0, 1])
+        fu = (scal[0, 2], scal[0, 3])
+        tau = (scal[0, 4], scal[0, 5])
+
+        extF = (jnp.concatenate([Fhs[:], Fhc[:], Fhn[:]], axis=0),
+                jnp.concatenate([Fls[:], Flc[:], Fln[:]], axis=0))
+        extU = (jnp.concatenate([Uhs[:], Uhc[:], Uhn[:]], axis=0),
+                jnp.concatenate([Uls[:], Ulc[:], Uln[:]], axis=0))
+        tye = extF[0].shape[0]
+        ty = outs[0].shape[0]
+
+        def fix(ext, bc, dv):
+            # BC images in the 8-row edge regions of edge programs
+            # (`_make_fullstep_kernel.fix`), per df64 component
+            if bc == BoundaryType.PERIODIC:
+                return ext
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
+            lo_img = (ext[0][8:9], ext[1][8:9])
+            hi_img = (ext[0][tye - 9:tye - 8], ext[1][tye - 9:tye - 8])
+            if bc == BoundaryType.DIRICHLET:
+                tw = dd.mul_pow2(dv, 2.0)
+                lo_img = dd.sub(tw, lo_img)
+                hi_img = dd.sub(tw, hi_img)
+            lo_mask = jnp.logical_and(rows < 8, i == 0)
+            hi_mask = jnp.logical_and(rows >= tye - 8, i == n - 1)
+            h = jnp.where(lo_mask, lo_img[0], ext[0])
+            h = jnp.where(hi_mask, hi_img[0], h)
+            l = jnp.where(lo_mask, lo_img[1], ext[1])
+            l = jnp.where(hi_mask, hi_img[1], l)
+            return (h, l)
+
+        def rhs_at(bF, bU, dv):
+            F_N = (_roll(bF[0], -1, 0), _roll(bF[1], -1, 0))
+            F_S = (_roll(bF[0], 1, 0), _roll(bF[1], 1, 0))
+            U_N = (_roll(bU[0], -1, 0), _roll(bU[1], -1, 0))
+            U_S = (_roll(bU[0], 1, 0), _roll(bU[1], 1, 0))
+            F_E, F_W = _shift_x_dd(bF, f_bc, dv)
+            U_E, U_W = _shift_x_dd(bU, u_bc, dv)
+            return phys(bF, F_N, F_S, F_E, F_W, bU, U_N, U_S, U_E, U_W, fu)
+
+        if scheme == "euler":
+            bF, bU = extF, extU
+            for _ in range(T):
+                bF = fix(bF, f_bc, d)
+                bU = fix(bU, u_bc, d)
+                kF, kU = rhs_at(bF, bU, d)
+                bF = dd.add(bF, dd.mul_const(kF, p.dt))
+                bU = dd.add(bU, dd.mul_const(kU, p.dt))
+            outs[0][:] = bF[0][8:8 + ty]
+            outs[1][:] = bU[0][8:8 + ty]
+            outs[2][:] = bF[1][8:8 + ty]
+            outs[3][:] = bU[1][8:8 + ty]
+            return
+
+        xF = fix(extF, f_bc, d)
+        xU = fix(extU, u_bc, d)
+
+        def stage(ks, ws):
+            """k = f(x + sum_i w_i k_i), ws df64 scalars; ghost fix at the
+            blend's effective Dirichlet value d * (1 + sum w)."""
+            bF, bU = xF, xU
+            wsum = (jnp.float32(1.0), jnp.float32(0.0))
+            for (kF_i, kU_i), w in zip(ks, ws):
+                bF = dd.add(bF, dd.mul(kF_i, w))
+                bU = dd.add(bU, dd.mul(kU_i, w))
+                wsum = dd.add(wsum, w)
+            dv = dd.mul(d, wsum)
+            bF = fix(bF, f_bc, dv)
+            bU = fix(bU, u_bc, dv)
+            return rhs_at(bF, bU, dv)
+
+        k1 = stage([], [])
+        if scheme == "rk4":
+            w_half = tuple(map(jnp.float32, dd.const(p.dt / 2)))
+            w_full = tuple(map(jnp.float32, dd.const(p.dt)))
+            k2 = stage([k1], [w_half])
+            k3 = stage([k2], [w_half])
+            k4 = stage([k3], [w_full])
+            acc_F = dd.add(dd.add(k1[0], dd.mul_pow2(dd.add(k2[0], k3[0]), 2.0)),
+                           k4[0])
+            acc_U = dd.add(dd.add(k1[1], dd.mul_pow2(dd.add(k2[1], k3[1]), 2.0)),
+                           k4[1])
+            nF = dd.add(xF, dd.mul_const(acc_F, p.dt / 6))
+            nU = dd.add(xU, dd.mul_const(acc_U, p.dt / 6))
+        else:  # rkm
+            w2 = dd.mul_const(tau, 1.0 / 3.0)
+            w3 = dd.mul_const(tau, 1.0 / 6.0)
+            w4a = dd.mul_pow2(tau, 0.125)
+            w4b = dd.mul_const(tau, 0.375)
+            w5a = dd.mul_pow2(tau, 0.5)
+            w5b = dd.mul_const(tau, -1.5)
+            w5c = dd.mul_pow2(tau, 2.0)
+            k2 = stage([k1], [w2])
+            k3 = stage([k1, k2], [w3, w3])
+            k4 = stage([k1, k3], [w4a, w4b])
+            k5 = stage([k1, k3, k4], [w5a, w5b, w5c])
+            c6 = dd.mul_const(tau, 1.0 / 6.0)
+            acc_F = dd.add(dd.add(k1[0], dd.mul_pow2(k4[0], 4.0)), k5[0])
+            acc_U = dd.add(dd.add(k1[1], dd.mul_pow2(k4[1], 4.0)), k5[1])
+            nF = dd.add(xF, dd.mul(acc_F, c6))
+            nU = dd.add(xU, dd.mul(acc_U, c6))
+            mid = slice(8, 8 + ty)
+
+            def comb(c1, c3, c4, c5):
+                # 0.2c1 - 0.9c3 + 0.8c4 - 0.1c5 in df64: the catastrophic
+                # cancellation that floors the f32 controller at ~2.3e-7
+                # (RESULTS.md) resolves at ~2^-48 * max|k| here
+                e = dd.sub(dd.mul_const(c1, 0.2), dd.mul_const(c3, 0.9))
+                e = dd.add(e, dd.sub(dd.mul_const(c4, 0.8),
+                                     dd.mul_const(c5, 0.1)))
+                return jnp.abs(e[0] + e[1])
+
+            eF = jnp.max(comb(k1[0], k3[0], k4[0], k5[0])[mid])
+            eU = jnp.max(comb(k1[1], k3[1], k4[1], k5[1])[mid])
+            outs[4][:] = jnp.full(outs[4].shape, eF)
+            outs[5][:] = jnp.full(outs[5].shape, eU)
+
+        outs[0][:] = nF[0][8:8 + ty]
+        outs[1][:] = nU[0][8:8 + ty]
+        outs[2][:] = nF[1][8:8 + ty]
+        outs[3][:] = nU[1][8:8 + ty]
+
+    return kernel
+
+
+def _fullstep_call_dd(p: SimParams, scheme: str, interpret: bool, T: int,
+                      Fh, Fl, Uh, Ul, scal):
+    # interpret mode also goes through jit: eager op-by-op execution of
+    # the interpreter's df64 stage chains takes minutes per call at test
+    # sizes, and with the EFT guards (df64.eft_guards) the compiled
+    # XLA:CPU path is exact
+    return _fullstep_jit_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "scheme", "interpret", "T"))
+def _fullstep_jit_dd(p: SimParams, scheme: str, interpret: bool, T: int,
+                     Fh, Fl, Uh, Ul, scal):
+    return _fullstep_impl_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal)
+
+
+def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
+                      Fh, Fl, Uh, Ul, scal):
+    ny, nx = p.ny, p.nx
+    ty = _tile_dd(ny, nx)
+    grid = ny // ty
+    with_err = scheme == "rkm"
+    in_specs, out_specs = _specs(p, ty, 2, with_err=with_err, n_out=4,
+                                 n_scal=6)
+    kernel = _make_fullstep_kernel_dd(p, scheme, T)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    out_shape = [shape] * 4
+    if with_err:
+        err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
+        out_shape += [err_shape, err_shape]
+    n_stages = {"euler": T, "rk4": 4, "rkm": 5}[scheme]
+    # interpret mode executes on XLA:CPU, whose LLVM codegen contracts
+    # mul+add into FMA and silently breaks the df64 error-free
+    # transforms; trace with the contraction guards there (off on the
+    # Mosaic path -- see df64.eft_guards).  x64 is disabled during the
+    # trace: the callers run under jax_enable_x64 (f64 configs), which
+    # makes python ints in BlockSpec index maps and kernel iota/masks
+    # trace as i64 -- Mosaic cannot legalize those -- while everything
+    # this kernel computes is f32 pairs anyway.
+    with jax.enable_x64(False), dd.eft_guards(interpret):
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=n_stages * 600 * p.N,  # ~15 f32 flops per df64 op
+                bytes_accessed=8 * p.N * 4,
+                transcendentals=n_stages * p.N,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(scal, Fh, Fh, Fh, Uh, Uh, Uh, Fl, Fl, Fl, Ul, Ul, Ul)
+    return tuple(out)
+
+
+def _split_scalar(x):
+    """f64 (or python) scalar -> (hi, lo) f32 pair; traced f64 inputs
+    require x64 mode (the driver enables it for float64 configs)."""
+    if isinstance(x, (int, float)):
+        hi, lo = dd.const(float(x))
+        return jnp.float32(hi), jnp.float32(lo)
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        hi = x.astype(jnp.float32)
+        return hi, (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
+
+
+def _scal_row(dirichlet_value, fu, tau):
+    parts = []
+    for v in (dirichlet_value, fu, tau):
+        parts += list(_split_scalar(v))
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in parts]).reshape(1, 6)
+
+
+# --- pair-level API (df64 state carried by the caller; no conversions) ---
+
+def euler_steps_dd_pair(pair, p: SimParams, T: int = EULER_DD_BLOCK_STEPS,
+                        fu=0.0, dirichlet_value=0.0, interpret=False):
+    """T fused Euler steps on a (Fh, Fl, Uh, Ul) df64 state."""
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "euler", interpret or FORCE_INTERPRET, T,
+                          Fh, Fl, Uh, Ul, _scal_row(dirichlet_value, fu, 0.0))
+    return (o[0], o[2], o[1], o[3])
+
+
+def rk4_full_dd_pair(pair, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                     interpret=False):
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "rk4", interpret or FORCE_INTERPRET, 1,
+                          Fh, Fl, Uh, Ul, _scal_row(dirichlet_value, fu, 0.0))
+    return (o[0], o[2], o[1], o[3])
+
+
+def rkm_attempt_dd_pair(pair, tau, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                        interpret=False):
+    """One Merson attempt; returns ((Fh,Fl,Uh,Ul), emax_F, emax_U) with the
+    error maxima as f32 scalars."""
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "rkm", interpret or FORCE_INTERPRET, 1,
+                          Fh, Fl, Uh, Ul, _scal_row(dirichlet_value, fu, tau))
+    return (o[0], o[2], o[1], o[3]), jnp.max(o[4]), jnp.max(o[5])
+
+
+# --- f64-state API (split/join at the boundary; for per-step use) ---
+
+def state_to_pair(F, U):
+    Fh, Fl = dd.from_f64(F)
+    Uh, Ul = dd.from_f64(U)
+    return (Fh, Fl, Uh, Ul)
+
+
+def pair_to_state(pair):
+    return dd.to_f64((pair[0], pair[1])), dd.to_f64((pair[2], pair[3]))
+
+
+def euler_steps_dd(F, U, p: SimParams, T: int = EULER_DD_BLOCK_STEPS,
+                   fu=0.0, dirichlet_value=0.0, interpret=False):
+    out = euler_steps_dd_pair(state_to_pair(F, U), p, T, fu, dirichlet_value,
+                              interpret)
+    return pair_to_state(out)
+
+
+def rk4_full_dd(F, U, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                interpret=False):
+    out = rk4_full_dd_pair(state_to_pair(F, U), p, fu, dirichlet_value,
+                           interpret)
+    return pair_to_state(out)
+
+
+def rkm_attempt_dd(F, U, tau, p: SimParams, fu=0.0, dirichlet_value=0.0,
+                   interpret=False):
+    pair, eF, eU = rkm_attempt_dd_pair(state_to_pair(F, U), tau, p, fu,
+                                       dirichlet_value, interpret)
+    nF, nU = pair_to_state(pair)
+    return nF, nU, eF.astype(F.dtype), eU.astype(F.dtype)

@@ -77,8 +77,11 @@ def supports(p: SimParams, n_states: int = 4) -> bool:
 def _roll(A, shift, axis):
     """Circular shift with jnp.roll semantics, lowered to the VPU's
     lane/sublane rotate (far cheaper than concatenate-built shifts).
-    pltpu.roll requires a non-negative shift."""
-    return pltpu.roll(A, shift % A.shape[axis], axis)
+    pltpu.roll requires a non-negative shift; the explicit int32 keeps
+    tpu.dynamic_rotate's shift operand i32 under x64 mode (the df64/f64
+    path traces with jax_enable_x64, where a bare python int binds as
+    i64 and fails Mosaic verification)."""
+    return pltpu.roll(A, jnp.int32(shift % A.shape[axis]), axis)
 
 
 def _col_mask(A, col):

@@ -25,6 +25,13 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
     (`simulation.cu:283-311`): RHS is evaluated at (F, U) but the
     temperature update integrates from U_base."""
     if same_base:
+        if F.dtype == jnp.float64:
+            from ..ops.pallas_dd import euler_steps_dd, wants_dd
+
+            if wants_dd(p, topo):
+                # fused df64 step: f64-grade precision without XLA's
+                # per-op f64 software emulation (ops/pallas_dd.py)
+                return euler_steps_dd(F, U, p, T=1, fu=fu)
         return euler_eval([(F, U)], [1.0], p, topo, fu)
     dF, dU = eval_rhs([(F, U)], [1.0], p, topo, fu)
     return F + p.dt * dF, U_base + p.dt * dU
@@ -66,6 +73,26 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
         return None
     if p.do_corrector_loop and p.corrector_max_iters > 0:
         return None
+
+    if p.dtype == "float64":
+        # df64 fused multi-step Euler: the f64<->pair conversions amortize
+        # over EULER_DD_BLOCK_STEPS steps per HBM pass (ops/pallas_dd.py)
+        from ..ops.pallas_dd import (EULER_DD_BLOCK_STEPS, euler_steps_dd,
+                                     wants_dd)
+
+        if topo.is_sharded or not wants_dd(p, topo):
+            return None
+        Tdd = EULER_DD_BLOCK_STEPS
+
+        def pair_dd(state):
+            F2, U2 = euler_steps_dd(state.F, state.U, p, T=Tdd)
+            t_next = (state.iter.astype(state.t.dtype) + Tdd) * jnp.asarray(
+                p.dt, state.t.dtype)
+            return state.replace(F=F2, U=U2, t=t_next, iter=state.iter + Tdd)
+
+        pair_dd.block_steps = Tdd
+        return pair_dd
+
     from ..ops.rhs import _resolve_backend
 
     T = EULER_BLOCK_STEPS
@@ -143,6 +170,14 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     as one pass (k4 never materializes in HBM).
     """
     from ..ops.rhs import _resolve_backend
+
+    if F.dtype == jnp.float64:
+        from ..ops.pallas_dd import rk4_full_dd, wants_dd
+
+        if wants_dd(p, topo):
+            # whole-step df64 fusion: k1..k4 + combination in one HBM
+            # pass at ~2^-48 precision (ops/pallas_dd.py)
+            return rk4_full_dd(F, U, p, fu)
 
     backend_full = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
                                     nx_local=F.shape[1])
@@ -227,8 +262,20 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     delta = jnp.asarray(max(min(p.Phi_tolerance, p.T_tolerance), 1e-20), dtype)
     tol_F = jnp.asarray(p.Phi_tolerance, dtype)
     tol_U = jnp.asarray(p.T_tolerance, dtype)
-    backend = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
-                               nx_local=F.shape[1])
+    dd_pair0 = None
+    if F.dtype == jnp.float64:
+        from ..ops.pallas_dd import state_to_pair, wants_dd
+
+        if wants_dd(p, topo):
+            # df64 whole-attempt fusion: the f64 state is split into f32
+            # (hi, lo) pairs ONCE per step (x is loop-invariant across
+            # retries); each attempt is one fused kernel pass and the
+            # winning candidate is joined back to f64 after the loop.
+            dd_pair0 = state_to_pair(F, U)
+
+    backend = ("xla" if dd_pair0 is not None else
+               _resolve_backend(p, topo, 4, ny_local=F.shape[0],
+                                nx_local=F.shape[1]))
     fused = backend in ("pallas", "pallas_sharded")
     full = False
     full_sharded = False
@@ -249,7 +296,7 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         full_sharded = supports_fullstep_sharded(p, F.shape[0], F.shape[1])
         full = full_sharded
 
-    if not full:
+    if not full and dd_pair0 is None:
         # k1 does not depend on tau: computed once outside the retry loop
         # (`simulation.cu:386`).  The whole-attempt fused kernel recomputes
         # it in VMEM instead (identical values; retries are rare at settled
@@ -274,6 +321,12 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         separately (still on-device, unlike the reference's per-iteration
         host readback, `simulation.cu:427-435`).
         """
+        if dd_pair0 is not None:
+            from ..ops.pallas_dd import rkm_attempt_dd_pair
+
+            cand, emax_F, emax_U = rkm_attempt_dd_pair(dd_pair0, tau, p, fu)
+            return (cand, tau / 3 * emax_F.astype(dtype),
+                    tau / 3 * emax_U.astype(dtype))
         if full_sharded:
             from ..ops.pallas_rhs import rkm_attempt_pallas_sharded
 
@@ -281,12 +334,12 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
                 F, U, tau, p, topo.axis_y, fu, slabs=slabs, flags=flags)
             emax_F = topo.allmax(emax_F)
             emax_U = topo.allmax(emax_U)
-            return nF, nU, tau / 3 * emax_F, tau / 3 * emax_U
+            return (nF, nU), tau / 3 * emax_F, tau / 3 * emax_U
         if full:
             from ..ops.pallas_rhs import rkm_attempt_pallas
 
             nF, nU, emax_F, emax_U = rkm_attempt_pallas(F, U, tau, p, fu)
-            return nF, nU, tau / 3 * emax_F, tau / 3 * emax_U
+            return (nF, nU), tau / 3 * emax_F, tau / 3 * emax_U
         k2 = eval_rhs([(F, U), (k1_F, k1_U)], [one, tau / 3], p, topo, fu)
         k3 = eval_rhs([(F, U), (k1_F, k1_U), k2], [one, tau / 6, tau / 6], p, topo, fu)
         k4 = eval_rhs([(F, U), (k1_F, k1_U), k3], [one, tau / 8, 3 * tau / 8], p, topo, fu)
@@ -318,11 +371,11 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
                 0.2 * k1_U - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * k5[1]))
             nF = F + tau / 6 * (k1_F + 4 * k4[0] + k5[0])
             nU = U + tau / 6 * (k1_U + 4 * k4[1] + k5[1])
-        return nF, nU, eps_F, eps_U
+        return (nF, nU), eps_F, eps_U
 
     def body(carry):
-        (i, tau, used_tau, _nF, _nU, _conv, _eF, _eU, stop) = carry
-        nF, nU, eps_F, eps_U = stage(tau)
+        (i, tau, used_tau, _cand, _conv, _eF, _eU, stop) = carry
+        cand, eps_F, eps_U = stage(tau)
         converged = jnp.logical_and(eps_F < tol_F, eps_U < tol_U)
         eps = jnp.maximum(jnp.maximum(eps_F, eps_U), jnp.asarray(1e-20, dtype))
         used = tau
@@ -333,17 +386,30 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         # increment (`simulation.cu:466-467`): the reported iteration count
         # skips the +1 in that case
         i_next = jnp.where(floor_hit, i, i + 1)
-        return (i_next, new_tau, used, nF, nU, converged, eps_F, eps_U,
+        return (i_next, new_tau, used, cand, converged, eps_F, eps_U,
                 jnp.logical_or(converged, floor_hit))
 
     def cond(carry):
         i, *_rest, stop = carry
         return jnp.logical_and(i < max_iters, jnp.logical_not(stop))
 
+    # the candidate-state slot of the carry is a pytree: (nF, nU) on the
+    # f64/XLA and f32 paths, the (Fh, Fl, Uh, Ul) f32 pair set on the df64
+    # path (joined back to f64 below)
+    if dd_pair0 is not None:
+        cand0 = tuple(jnp.zeros_like(c) for c in dd_pair0)
+    else:
+        cand0 = (jnp.zeros_like(F), jnp.zeros_like(U))
     init = (jnp.zeros((), jnp.int32), jnp.asarray(tau0, dtype),
-            jnp.asarray(tau0, dtype), jnp.zeros_like(F), jnp.zeros_like(U),
+            jnp.asarray(tau0, dtype), cand0,
             jnp.zeros((), bool), jnp.zeros((), dtype), jnp.zeros((), dtype),
             jnp.zeros((), bool))
-    (iters, next_tau, used_tau, next_F, next_U, converged, eps_F, eps_U, _s) = (
+    (iters, next_tau, used_tau, cand, converged, eps_F, eps_U, _s) = (
         lax.while_loop(cond, body, init))
+    if dd_pair0 is not None:
+        from ..ops.pallas_dd import pair_to_state
+
+        next_F, next_U = pair_to_state(cand)
+    else:
+        next_F, next_U = cand
     return next_F, next_U, used_tau, next_tau, iters, converged

@@ -21,6 +21,10 @@ import jax  # noqa: E402
 # vars above may have been bound already -- override through the config API.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the df64 interpret-mode kernels jit big graphs
+# (minutes of XLA:CPU compile); repeat runs hit the cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

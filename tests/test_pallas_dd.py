@@ -1,0 +1,222 @@
+"""df64 fused integrator kernels vs the true-f64 XLA oracle.
+
+The oracle is the staged `ops.rhs.eval_rhs` path in float64 (XLA's
+software f64 -- also what `[tpu] backend = xla` runs in production).
+The df64 pair representation carries ~2^-48 relative precision, so
+agreement bounds are set at ~1e-12 of the field scale -- eight orders
+below the f32 path's tolerances and far below the reference's 5e-9
+controller tolerances (the claim under test).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bachelors_tpu as bt
+from bachelors_tpu.core.params import BoundaryType
+from bachelors_tpu.ops import pallas_dd
+from bachelors_tpu.ops.pallas_dd import (euler_steps_dd, rk4_full_dd,
+                                         rkm_attempt_dd, supports_dd)
+from bachelors_tpu.ops.rhs import eval_rhs
+from bachelors_tpu.parallel.topology import Topology
+
+TOPO = Topology()
+
+
+@pytest.fixture(autouse=True)
+def small_tiles():
+    # force 2 grid programs on tiny arrays so halo seams are exercised
+    pallas_dd.TILE_OVERRIDE = 32
+    yield
+    pallas_dd.TILE_OVERRIDE = None
+
+
+def make_p(**kw):
+    kw.setdefault("nx", 128)
+    kw.setdefault("ny", 64)
+    kw.setdefault("dt", 5e-6)
+    kw.setdefault("S", 0.0)
+    kw.setdefault("dtype", "float64")
+    kw.setdefault("backend", "xla")  # oracle side; dd calls are explicit
+    # full-precision sqrt on BOTH sides for the strict 1e-12 agreements;
+    # the reference's f32-transcendental semantics get their own test
+    kw.setdefault("f32_transcendentals", False)
+    return bt.SimParams(**kw)
+
+
+def fields(p, seed=3):
+    rng = np.random.default_rng(seed)
+    F = jnp.asarray(0.5 + 0.4 * np.sin(rng.normal(size=(p.ny, p.nx))),
+                    jnp.float64)
+    U = jnp.asarray(0.1 * rng.normal(size=(p.ny, p.nx)), jnp.float64)
+    return F, U
+
+
+def relerr(got, want):
+    scale = float(jnp.max(jnp.abs(want))) or 1.0
+    return float(jnp.max(jnp.abs(got - want))) / scale
+
+
+BCS = [BoundaryType.NEUMANN, BoundaryType.PERIODIC, BoundaryType.DIRICHLET]
+
+
+class TestEulerDD:
+    @pytest.mark.parametrize("bc", BCS)
+    def test_one_step_matches_f64_oracle(self, bc):
+        p = make_p(Phi_boundary=bc, T_boundary=bc)
+        F, U = fields(p)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < 1e-12
+        assert relerr(nU, U + p.dt * dU) < 1e-12
+
+    @pytest.mark.slow  # T=4 interpret graph: minutes of XLA:CPU compile
+    def test_four_fused_steps_match_four_single(self):
+        p = make_p()
+        F, U = fields(p, seed=7)
+        nF4, nU4 = euler_steps_dd(F, U, p, T=4, interpret=True)
+        wF, wU = F, U
+        for _ in range(4):
+            dF, dU = eval_rhs([(wF, wU)], [1.0], p, TOPO)
+            wF, wU = wF + p.dt * dF, wU + p.dt * dU
+        assert relerr(nF4, wF) < 1e-12
+        assert relerr(nU4, wU) < 1e-12
+
+    def test_f32_transcendentals_semantics(self):
+        """With the reference's sqrtf-in-f64 semantics (the default), the
+        dd kernel and the f64 oracle both round |grad| to f32 and agree
+        to f32-transcendental level.  They round r2 at DIFFERENT points
+        (kernel: hi-plane products summed in f32; oracle: f64 sum cast
+        once), so agreement is ~ulp_f32 of the k2 term's contribution --
+        orders above the 1e-12 full-precision bounds but exactly the
+        precision the reference's own f64 solver carries here."""
+        p = make_p(f32_transcendentals=True)
+        F, U = fields(p, seed=23)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < 1e-7
+        assert relerr(nU, U + p.dt * dU) < 1e-7
+
+    def test_forcing_term(self):
+        p = make_p()
+        F, U = fields(p, seed=11)
+        fu = 0.037
+        nF, nU = euler_steps_dd(F, U, p, T=1, fu=fu, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO, fu)
+        assert relerr(nU, U + p.dt * dU) < 1e-12
+        assert relerr(nF, F + p.dt * dF) < 1e-12
+
+
+@pytest.mark.slow  # 4-stage interpret graphs: minutes of XLA:CPU compile
+class TestRK4DD:
+    @pytest.mark.parametrize("bc", BCS)
+    def test_whole_step_matches_staged_f64(self, bc):
+        p = make_p(Phi_boundary=bc, T_boundary=bc)
+        F, U = fields(p, seed=5)
+        nF, nU = rk4_full_dd(F, U, p, interpret=True)
+        dt, one = p.dt, 1.0
+        k1 = eval_rhs([(F, U)], [one], p, TOPO)
+        k2 = eval_rhs([(F, U), k1], [one, dt / 2], p, TOPO)
+        k3 = eval_rhs([(F, U), k2], [one, dt / 2], p, TOPO)
+        k4 = eval_rhs([(F, U), k3], [one, dt], p, TOPO)
+        wF = F + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        wU = U + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        assert relerr(nF, wF) < 1e-12
+        assert relerr(nU, wU) < 1e-12
+
+
+def staged_rkm_oracle(F, U, tau, p, fu=0.0):
+    one = 1.0
+    k1 = eval_rhs([(F, U)], [one], p, TOPO, fu)
+    k2 = eval_rhs([(F, U), k1], [one, tau / 3], p, TOPO, fu)
+    k3 = eval_rhs([(F, U), k1, k2], [one, tau / 6, tau / 6], p, TOPO, fu)
+    k4 = eval_rhs([(F, U), k1, k3], [one, tau / 8, 3 * tau / 8], p, TOPO, fu)
+    k5 = eval_rhs([(F, U), k1, k3, k4],
+                  [one, tau / 2, -3 * tau / 2, 2 * tau], p, TOPO, fu)
+    wF = F + tau / 6 * (k1[0] + 4 * k4[0] + k5[0])
+    wU = U + tau / 6 * (k1[1] + 4 * k4[1] + k5[1])
+    eF = jnp.max(jnp.abs(0.2 * k1[0] - 0.9 * k3[0] + 0.8 * k4[0] - 0.1 * k5[0]))
+    eU = jnp.max(jnp.abs(0.2 * k1[1] - 0.9 * k3[1] + 0.8 * k4[1] - 0.1 * k5[1]))
+    return wF, wU, float(eF), float(eU), float(jnp.max(jnp.abs(k1[0])))
+
+
+@pytest.mark.slow  # 5-stage interpret graphs: the heaviest compiles here
+class TestRKMDD:
+    @pytest.mark.parametrize("bc", BCS)
+    def test_attempt_matches_staged_f64(self, bc):
+        p = make_p(Phi_boundary=bc, T_boundary=bc)
+        F, U = fields(p, seed=9)
+        tau = 3.7e-6
+        nF, nU, eF, eU = rkm_attempt_dd(F, U, jnp.float64(tau), p,
+                                        interpret=True)
+        wF, wU, weF, weU, maxk = staged_rkm_oracle(F, U, tau, p)
+        assert relerr(nF, wF) < 1e-12
+        assert relerr(nU, wU) < 1e-12
+        # THE df64 claim: the catastrophically-cancelling Merson error
+        # combination agrees with true f64 far below the f32 noise floor
+        # (~6e-8 * max|k|, RESULTS.md) -- here to ~2^-45 * max|k|.
+        for got, want in ((float(eF), weF), (float(eU), weU)):
+            assert abs(got - want) <= 3e-13 * maxk + 1e-13 * want
+
+    def test_solver_level_dd_path(self):
+        """rkm_adaptive_step engages the df64 path (backend='pallas' +
+        FORCE_INTERPRET on CPU) and matches the f64 XLA solver's step."""
+        from bachelors_tpu.solvers.explicit import rkm_adaptive_step
+
+        p_dd = make_p(backend="pallas",
+                      solver=bt.SolverType.EXPLICIT_RK4_ADAPTIVE)
+        p_or = p_dd.replace(backend="xla")
+        F, U = fields(p_or, seed=13)
+        tau0 = jnp.float64(2e-6)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            assert supports_dd(p_dd)
+            got = rkm_adaptive_step(F, U, tau0, p_dd, TOPO)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        want = rkm_adaptive_step(F, U, tau0, p_or, TOPO)
+        assert relerr(got[0], want[0]) < 1e-11
+        assert relerr(got[1], want[1]) < 1e-11
+        # same tau decision and iteration count
+        np.testing.assert_allclose(float(got[3]), float(want[3]), rtol=1e-9)
+        assert int(got[4]) == int(want[4])
+        assert bool(got[5]) == bool(want[5])
+
+    def test_euler_pair_stepper_dd(self):
+        """make_euler_pair_stepper returns the df64 4-step advancer for
+        f64 configs and it matches 4 oracle steps."""
+        from bachelors_tpu.solvers.explicit import make_euler_pair_stepper
+
+        p_dd = make_p(backend="pallas", solver=bt.SolverType.EXPLICIT_EULER)
+        F, U = fields(p_dd, seed=17)
+        state = bt.make_state(F, U, p_dd)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            pair = make_euler_pair_stepper(p_dd, TOPO)
+            assert pair is not None and pair.block_steps == 4
+            out = pair(state)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        p_or = p_dd.replace(backend="xla")
+        wF, wU = F, U
+        for _ in range(4):
+            dF, dU = eval_rhs([(wF, wU)], [1.0], p_or, TOPO)
+            wF, wU = wF + p_or.dt * dF, wU + p_or.dt * dU
+        assert relerr(out.F, wF) < 1e-12
+        assert relerr(out.U, wU) < 1e-12
+        assert int(out.iter) == 4
+
+
+class TestGating:
+    def test_supports_dd(self):
+        assert supports_dd(make_p())
+        assert not supports_dd(make_p(dtype="float32"))
+        assert not supports_dd(make_p(S=0.25, m0=6.0))
+        assert not supports_dd(make_p(nx=100))
+        assert not supports_dd(make_p(do_corrector_guess=True))
+
+    def test_wants_dd_respects_xla_optout(self):
+        from bachelors_tpu.ops.pallas_dd import wants_dd
+
+        assert not wants_dd(make_p(backend="xla"), TOPO)
+        assert wants_dd(make_p(backend="pallas"), TOPO)
