@@ -169,15 +169,19 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
     if blend:
         out_specs = [fspec] + out_specs
         out_shape = [jax.ShapeDtypeStruct((ny, nx), jnp.float32)] + out_shape
-    res = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        input_output_aliases=io_alias,
-        interpret=interpret,
-    )(*args)
+    # x64 off during tracing: f64 configs (the df64 semi-implicit path)
+    # reach these f32 kernels under jax_enable_x64, where python ints in
+    # index maps trace as i64 and fail Mosaic verification
+    with jax.enable_x64(False):
+        res = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=io_alias,
+            interpret=interpret,
+        )(*args)
     if blend:
         p_new, out, part = res
     else:
@@ -269,18 +273,19 @@ def _axpby_inplace(ny: int, nx: int, interpret: bool, a, b, r, pv):
     scal = jnp.reshape(
         jnp.stack([jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)]),
         (1, 2))
-    return pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM), spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
-        # block-local pointwise: writing over p's own pages skips the
-        # write-allocate of a fresh buffer (same discipline as update_xr_rr)
-        input_output_aliases={2: 0},
-        interpret=interpret,
-    )(scal, r, pv)
+    with jax.enable_x64(False):  # see _matvec_pAp: Mosaic rejects i64 maps
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM), spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            # block-local pointwise: writing over p's own pages skips the
+            # write-allocate of a fresh buffer (same discipline as update_xr_rr)
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(scal, r, pv)
 
 
 def axpby_inplace(a, b, r, pv, interpret: bool = False):
@@ -305,21 +310,23 @@ def _update_xr_rr(ny: int, nx: int, interpret: bool, x, r, pv, Ap, alpha):
         ro[:] = rn
         part[:] = jnp.full(part.shape, jnp.sum(rn * rn))
 
-    xo, ro, part = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                  spec, spec, spec, spec],
-        out_specs=[spec, spec, _partial_spec(ty)],
-        out_shape=[jax.ShapeDtypeStruct((ny, nx), jnp.float32),
-                   jax.ShapeDtypeStruct((ny, nx), jnp.float32),
-                   jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)],
-        # x/r are pointwise-updated per block: writing them in place avoids
-        # the write-allocate penalty of fresh output buffers (RESULTS.md
-        # roofline notes); safe because block i only touches block i
-        input_output_aliases={1: 0, 2: 1},
-        interpret=interpret,
-    )(jnp.reshape(jnp.asarray(alpha, jnp.float32), (1, 1)), x, r, pv, Ap)
+    with jax.enable_x64(False):  # see _matvec_pAp: Mosaic rejects i64 maps
+        xo, ro, part = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      spec, spec, spec, spec],
+            out_specs=[spec, spec, _partial_spec(ty)],
+            out_shape=[jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                       jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                       jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)],
+            # x/r are pointwise-updated per block: writing them in place
+            # avoids the write-allocate penalty of fresh output buffers
+            # (RESULTS.md roofline notes); block i only touches block i
+            input_output_aliases={1: 0, 2: 1},
+            interpret=interpret,
+        )(jnp.reshape(jnp.asarray(alpha, jnp.float32), (1, 1)), x, r, pv, Ap)
     rr = jnp.sum(part.reshape(grid, 8, 128)[:, 0, 0])
     return xo, ro, rr
 

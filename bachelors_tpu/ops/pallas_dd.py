@@ -77,6 +77,18 @@ def wants_dd(p: SimParams, topo) -> bool:
             and supports_dd(p) and _on_tpu_or_forced(p))
 
 
+def wants_dd_si(p: SimParams, topo) -> bool:
+    """Gate for the df64 semi-implicit path: the dd prepare + f32
+    delta-CG with pair-precision iterative refinement + pair add-back
+    (`solvers.semi_implicit`).  The corrector loop re-solves with a
+    frozen U_base (needs pair-state deltas), the differentiable path
+    needs the adjoint XLA solves, and gamma != 1 adds a state-scale b_U
+    term the refinement kernels do not carry (no shipped config uses
+    it) -- all fall back to the XLA f64 path."""
+    return (wants_dd(p, topo) and not p.do_corrector_loop
+            and not p.differentiable and p.gamma == 1.0)
+
+
 def _make_physics_dd(p: SimParams):
     """df64 twin of `pallas_rhs._make_physics` (isotropic family)."""
     assert p.S == 0.0 and not p.do_corrector_guess
@@ -149,12 +161,21 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
                       combination |0.2k1 - 0.9k3 + 0.8k4 - 0.1k5| (f32 --
                       the estimate is compared against tolerances orders
                       of magnitude above df64 noise).
+      scheme="si":    semi-implicit DELTA-form prepare
+                      (`models.allen_cahn.semi_implicit_prepare`,
+                      isotropic no-guess family): emits r0_F = dt*dt_F and
+                      uterm = dt*lap(U) as SINGLE f32 planes -- both are
+                      O(dt)-scale deltas whose f32 representation error
+                      (~2^-24 relative to the delta) sits orders below the
+                      5e-9 scaled CG tolerance, so the f32 fused CG solves
+                      them directly and only the state add-back needs pair
+                      arithmetic.
 
     Ref layout: scal (1,6) SMEM [d_hi, d_lo, fu_hi, fu_lo, tau_hi,
     tau_lo]; 12 field blocks (hi planes then lo planes, each as
     center + 8-row halo groups); outputs [Fh, Uh, Fl, Ul (+ errF, errU)].
     """
-    assert scheme in ("euler", "rk4", "rkm")
+    assert scheme in ("euler", "rk4", "rkm", "si")
     f_bc, u_bc = p.Phi_boundary, p.T_boundary
     phys = _make_physics_dd(p)
 
@@ -216,6 +237,26 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
             outs[1][:] = bU[0][8:8 + ty]
             outs[2][:] = bF[1][8:8 + ty]
             outs[3][:] = bU[1][8:8 + ty]
+            return
+
+        if scheme == "si":
+            bF = fix(extF, f_bc, d)
+            bU = fix(extU, u_bc, d)
+            dt_F, dt_U = rhs_at(bF, bU, d)
+            # r0_F = dt*(k1 lap_F + k0 - k2 (U - Tm)) = dt * dt_F exactly
+            # (allen_cahn.semi_implicit_prepare, plain variant); phys
+            # returns dt_U = lap_U + L*dt_F (+fu == 0 here), so lap_U is
+            # recovered by an exact df64 subtraction.  Both residuals are
+            # emitted as PAIRS: the hi planes feed the f32 CG and the lo
+            # planes feed the iterative-refinement residual
+            # (cross_residual_dd), which needs r0 beyond f32 rounding.
+            r0 = dd.mul_const(dt_F, p.dt)
+            lap_U = dd.sub(dt_U, dd.mul_const(dt_F, p.L))
+            ut = dd.mul_const(lap_U, p.dt)
+            outs[0][:] = r0[0][8:8 + ty]
+            outs[1][:] = ut[0][8:8 + ty]
+            outs[2][:] = r0[1][8:8 + ty]
+            outs[3][:] = ut[1][8:8 + ty]
             return
 
         xF = fix(extF, f_bc, d)
@@ -318,7 +359,7 @@ def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
     if with_err:
         err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
         out_shape += [err_shape, err_shape]
-    n_stages = {"euler": T, "rk4": 4, "rkm": 5}[scheme]
+    n_stages = {"euler": T, "rk4": 4, "rkm": 5, "si": 1}[scheme]
     # interpret mode executes on XLA:CPU, whose LLVM codegen contracts
     # mul+add into FMA and silently breaks the df64 error-free
     # transforms; trace with the contraction guards there (off on the
@@ -393,6 +434,133 @@ def rkm_attempt_dd_pair(pair, tau, p: SimParams, fu=0.0, dirichlet_value=0.0,
     o = _fullstep_call_dd(p, "rkm", interpret or FORCE_INTERPRET, 1,
                           Fh, Fl, Uh, Ul, _scal_row(dirichlet_value, fu, tau))
     return (o[0], o[2], o[1], o[3]), jnp.max(o[4]), jnp.max(o[5])
+
+
+def si_prepare_dd_pair(pair, p: SimParams, dirichlet_value=0.0,
+                       interpret=False):
+    """Delta-form semi-implicit prepare on a df64 pair state: returns
+    ((r0_F hi, lo), (uterm hi, lo)) f32 pairs (see the kernel docstring)."""
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "si", interpret or FORCE_INTERPRET, 1,
+                          Fh, Fl, Uh, Ul, _scal_row(dirichlet_value, 0.0, 0.0))
+    return (o[0], o[2]), (o[1], o[3])
+
+
+def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
+                                Y: float, heat_L=None):
+    """r1 = r0 - A e in df64, A the constant cross operator
+    (`ops.stencil.cross_matvec` semantics incl. its topo.pad ghosts with
+    dirichlet_value=0: Neumann ghost=edge, Dirichlet ghost=-edge).
+
+    heat_L: when set, r0 is built in-kernel as L*(e1_F + e2_F) + uterm
+    (the heat system's delta rhs, `solvers/semi_implicit`), with (e1_F,
+    e2_F) supplied as two extra planes forming a pair.
+    """
+    def kernel(*refs):
+        if heat_L is None:
+            ec, en, es, r0h, r0l, out = refs
+        else:
+            ec, en, es, r0h, r0l, f1, f2, out = refs
+        ext = jnp.concatenate([es[:], ec[:], en[:]], axis=0)
+        tye = ext.shape[0]
+        ty = out.shape[0]
+        if bc != BoundaryType.PERIODIC:
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+            lo_img = ext[8:9]
+            hi_img = ext[tye - 9:tye - 8]
+            if bc == BoundaryType.DIRICHLET:
+                lo_img, hi_img = -lo_img, -hi_img  # pad value 0: ghost=-edge
+            ext = jnp.where(jnp.logical_and(rows < 8, i == 0), lo_img, ext)
+            ext = jnp.where(jnp.logical_and(rows >= tye - 8, i == n - 1),
+                            hi_img, ext)
+        N = _roll(ext, -1, 0)
+        S = _roll(ext, 1, 0)
+        E = _roll(ext, -1, 1)
+        W = _roll(ext, 1, 1)
+        if bc != BoundaryType.PERIODIC:
+            img = -ext if bc == BoundaryType.DIRICHLET else ext
+            nx = ext.shape[1]
+            E = jnp.where(_col_mask(ext, nx - 1), img, E)
+            W = jnp.where(_col_mask(ext, 0), img, W)
+        # A e in pair precision: e and its neighbors are exact f32, the
+        # neighbor sums are TwoSum pairs, the coefficient products df64
+        zero = jnp.zeros_like(ext)
+        Ae = dd.add(dd.add(dd.mul_const((ext, zero), C),
+                           dd.mul_const(dd.add((E, zero), (W, zero)), X)),
+                    dd.mul_const(dd.add((N, zero), (S, zero)), Y))
+        r0 = (r0h[:], r0l[:])
+        if heat_L is not None:
+            # r0 := L * (e1_F + e2_F pair) + uterm pair
+            r0 = dd.add(dd.mul_const((f1[:], f2[:]), heat_L), r0)
+        r1 = dd.sub(r0, (Ae[0][8:8 + ty], Ae[1][8:8 + ty]))
+        out[:] = r1[0] + r1[1]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bc", "C", "X", "Y", "heat_L",
+                                             "interpret", "ny", "nx"))
+def _cross_residual_call(bc, C, X, Y, heat_L, interpret, ny, nx, e, r0h, r0l,
+                         f1, f2):
+    from .pallas_rhs import make_halo_row_maps
+
+    ty = _tile_dd(ny, nx)
+    grid = ny // ty
+    north, south = make_halo_row_maps(ny, ty, bc)
+    center = lambda i: (i, 0)
+    espec = [pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM),
+             pl.BlockSpec((8, nx), north, memory_space=pltpu.VMEM),
+             pl.BlockSpec((8, nx), south, memory_space=pltpu.VMEM)]
+    cspec = pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM)
+    in_specs = espec + [cspec, cspec]
+    args = [e, e, e, r0h, r0l]
+    if heat_L is not None:
+        in_specs += [cspec, cspec]
+        args += [f1, f2]
+    kernel = _make_cross_residual_kernel(bc, C, X, Y, heat_L)
+    with jax.enable_x64(False), dd.eft_guards(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=cspec,
+            out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            interpret=interpret,
+        )(*args)
+
+
+def cross_residual_dd(r0_pair, e, A, interpret=False):
+    """Refinement residual r1 = r0 - A e (pair r0, exact-f32 e, constant
+    cross A); returns an f32 plane for the second CG solve."""
+    ny, nx = e.shape
+    return _cross_residual_call(A.boundary, float(A.C), float(A.X),
+                                float(A.Y), None,
+                                interpret or FORCE_INTERPRET, ny, nx,
+                                e, r0_pair[0], r0_pair[1], e, e)
+
+
+def heat_residual_dd(ut_pair, eF_pair, e, A, L, interpret=False):
+    """Heat-system refinement residual r1 = (L*e_F + uterm) - A e, with
+    e_F = eF_pair carried as (first solve, refinement) f32 planes."""
+    ny, nx = e.shape
+    return _cross_residual_call(A.boundary, float(A.C), float(A.X),
+                                float(A.Y), float(L),
+                                interpret or FORCE_INTERPRET, ny, nx,
+                                e, ut_pair[0], ut_pair[1],
+                                eF_pair[0], eF_pair[1])
+
+
+def pair_add_f32(pair, e_F, e_U):
+    """(state pair) + f32 deltas, in pair precision: the semi-implicit
+    add-back next = x + e.  Pure TwoSum chains (no products), so safe to
+    evaluate at the XLA level on any backend -- FMA contraction needs a
+    multiply."""
+    Fh, Fl, Uh, Ul = pair
+    F2 = dd.add_f32((Fh, Fl), e_F)
+    U2 = dd.add_f32((Uh, Ul), e_U)
+    return (F2[0], F2[1], U2[0], U2[1])
 
 
 # --- f64-state API (split/join at the boundary; for per-step use) ---

@@ -55,6 +55,14 @@ from .cg import CGResult, cg_solve, cg_solve_fused
 SI_FUSED_CG_MIN_CELLS = None  # no size engages the 2-pass variant
 _FORCE_CG_VARIANT = None  # bench/test hook: None | "pAp" | "fused"
 
+# df64 semi-implicit: one round of pair-precision iterative refinement per
+# system (see _semi_implicit_step_dd).  Guarantees the TRUE residual meets
+# the 5e-9 contract even during transients where the f32-only solve floors
+# at ulp_f32(|r0|); costs one residual kernel + a short second CG per
+# system (measured +60% step cost at 2048^2, still 1.3x the A100 --
+# RESULTS.md).  Turning it off keeps the recursive-residual contract only.
+SI_DD_REFINE = True
+
 
 def _cg_variant(n_cells: int) -> str:
     if _FORCE_CG_VARIANT is not None:
@@ -96,6 +104,15 @@ def _wants_jacobi(p: SimParams) -> bool:
 
 def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     """One semi-implicit step.  Returns (next_F, next_U, res_F, res_U)."""
+    if F.dtype == jnp.float64:
+        from ..ops.pallas_dd import wants_dd_si
+
+        if wants_dd_si(p, topo):
+            # df64 path: pair-precision prepare, f32 delta CG (the deltas
+            # are O(dt)-scale; same scaled 5e-9 tolerance contract as the
+            # reference's f64 CG), pair-precision add-back -- vs XLA's
+            # per-op f64 emulation this is a ~10x step-cost cut
+            return _semi_implicit_step_dd(F, U, p, topo)
     # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
     # The deeper cg_solve_fused 2-pass variant measured SLOWER at every
     # size (see the gate comment above) and stays off; the wiring remains
@@ -211,6 +228,89 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
             max_iters=p.T_max_iters, epsilon=1.0e-12, topo=topo,
             **({} if p.differentiable else {"matvec_pAp": mv_U}))
     next_U = U + e_U
+    return next_F, next_U, res_F, res_U
+
+
+def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
+    """df64 semi-implicit step for float64 configs (isotropic, no
+    corrector; `ops.pallas_dd.wants_dd_si`).
+
+    Precision argument: the state is carried at pair precision (~2^-48).
+    The prepare computes the delta-form residuals r0_F = dt*dt_F and
+    uterm = dt*lap(U) IN pair arithmetic and rounds only the O(dt)-scale
+    results to f32 (~2^-24 relative to the delta = ~1e-12 absolute at the
+    benchmark scales, orders below the 5e-9 scaled CG tolerance).  CG
+    then runs the same f32 fused kernels as the f32 path -- the
+    convergence contract (RMS residual < 5e-9, the reference's
+    `simulation.cu:608` semantics) is checked ON the f32 iterates, which
+    the delta form keeps meaningful at this scale -- and the correction
+    is added back in pair arithmetic (TwoSum only, FMA-safe at XLA level).
+    """
+    from ..ops.pallas_cg import cross_matvec_pAp
+    from ..ops.pallas_dd import (FORCE_INTERPRET, cross_residual_dd,
+                                 heat_residual_dd, pair_add_f32,
+                                 pair_to_state, si_prepare_dd_pair,
+                                 state_to_pair)
+
+    pair = state_to_pair(F, U)
+    r0F_pair, ut_pair = si_prepare_dd_pair(pair, p)
+
+    s = p.gamma / p.alpha  # g == 1: isotropic, no corrector guess
+    A_F = AnisotropyMatrix.implicit_phase(p)
+    A_U = CrossMatrix.implicit_heat(p)
+    A_Fc = CrossMatrix(C=1 + A_F.Cm1 * s, X=A_F.X * s, Y=A_F.Y * s,
+                       boundary=p.Phi_boundary)
+    # the f32 fused CG kernels serve the f64 path unchanged (they only see
+    # f32 delta arrays); CPU interpret tests take the XLA matvec instead
+    use_pallas_cg = not FORCE_INTERPRET
+    mv_F = ((lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out))
+            if use_pallas_cg else None)
+    mv_U = ((lambda v, out=None: cross_matvec_pAp(A_U, v, out=out))
+            if use_pallas_cg else None)
+    mvx_F = lambda v: anisotropy_matvec(A_F, s, v, topo)
+    mvx_U = lambda v: cross_matvec(A_U, v, topo)
+
+    def solve(mvx, mv, b, tol, iters):
+        return cg_solve(mvx, b, tolerance=tol, max_iters=iters,
+                        epsilon=1.0e-12, topo=topo, matvec_pAp=mv)
+
+    # Mixed-precision iterative refinement (one round): solve on the f32
+    # hi residual, re-evaluate the TRUE residual of the correction in
+    # pair precision (cross_residual_dd), solve the tiny leftover system.
+    # The f32 CG alone floors the true residual at ~ulp_f32(|r0|) --
+    # above the 5e-9 contract during transients where |r0| is O(0.1);
+    # after refinement the floor is ~ulp_f32(|r1|) ~ 6e-8 * 6e-8 * |r0|,
+    # orders below tolerance at any state (measured in RESULTS.md).
+    e1_F, res_F = solve(mvx_F, mv_F, r0F_pair[0],
+                        p.Phi_tolerance, p.Phi_max_iters)
+    if not SI_DD_REFINE:
+        e_F = e1_F
+        e_U, res_U = solve(mvx_U, mv_U,
+                           p.L * e_F + (ut_pair[0] + ut_pair[1]),
+                           p.T_tolerance, p.T_max_iters)
+        next_F, next_U = pair_to_state(pair_add_f32(pair, e_F, e_U))
+        return next_F, next_U, res_F, res_U
+
+    r1_F = cross_residual_dd(r0F_pair, e1_F, A_Fc)
+    e2_F, res_F2 = solve(mvx_F, mv_F, r1_F,
+                         p.Phi_tolerance, p.Phi_max_iters)
+
+    e1_U, res_U = solve(mvx_U, mv_U,
+                        p.L * (e1_F + e2_F) + (ut_pair[0] + ut_pair[1]),
+                        p.T_tolerance, p.T_max_iters)
+    r1_U = heat_residual_dd(ut_pair, (e1_F, e2_F), e1_U, A_U, p.L)
+    e2_U, res_U2 = solve(mvx_U, mv_U, r1_U, p.T_tolerance, p.T_max_iters)
+
+    # add back x + e1 + e2 in pair precision (e2 would vanish inside a
+    # single f32 e1+e2 sum)
+    next_F, next_U = pair_to_state(
+        pair_add_f32(pair_add_f32(pair, e1_F, e1_U), e2_F, e2_U))
+    res_F = CGResult(error=res_F2.error, iters=res_F.iters + res_F2.iters,
+                     converged=jnp.logical_and(res_F.converged,
+                                               res_F2.converged))
+    res_U = CGResult(error=res_U2.error, iters=res_U.iters + res_U2.iters,
+                     converged=jnp.logical_and(res_U.converged,
+                                               res_U2.converged))
     return next_F, next_U, res_F, res_U
 
 

@@ -109,7 +109,9 @@ class TestEulerDD:
 
 @pytest.mark.slow  # 4-stage interpret graphs: minutes of XLA:CPU compile
 class TestRK4DD:
-    @pytest.mark.parametrize("bc", BCS)
+    # one BC: the BC/seam machinery is the same code across schemes and
+    # gets its 3-BC coverage from the cheap Euler T=1 graphs + RKM
+    @pytest.mark.parametrize("bc", [BoundaryType.NEUMANN])
     def test_whole_step_matches_staged_f64(self, bc):
         p = make_p(Phi_boundary=bc, T_boundary=bc)
         F, U = fields(p, seed=5)
@@ -220,3 +222,84 @@ class TestGating:
 
         assert not wants_dd(make_p(backend="xla"), TOPO)
         assert wants_dd(make_p(backend="pallas"), TOPO)
+
+
+class TestSemiImplicitDD:
+    def make_si_p(self, **kw):
+        kw.setdefault("solver", bt.SolverType.SEMI_IMPLICIT)
+        kw.setdefault("Phi_tolerance", 5e-9)
+        kw.setdefault("T_tolerance", 5e-9)
+        kw.setdefault("Phi_max_iters", 20)
+        kw.setdefault("T_max_iters", 20)
+        return make_p(**kw)
+
+    def test_prepare_matches_f64(self):
+        """dd si-prepare == the f64 XLA prepare, to f32 rounding of the
+        O(dt)-scale residuals."""
+        from bachelors_tpu.models.allen_cahn import semi_implicit_prepare
+        from bachelors_tpu.ops.pallas_dd import si_prepare_dd_pair, state_to_pair
+        from bachelors_tpu.solvers.semi_implicit import _lap_from_padded
+
+        p = self.make_si_p()
+        F, U = fields(p, seed=31)
+        r0_pair, ut_pair = si_prepare_dd_pair(state_to_pair(F, U), p,
+                                              interpret=True)
+        Fp = TOPO.pad(F, p.Phi_boundary)
+        Up = TOPO.pad(U, p.T_boundary)
+        w_r0, _s = semi_implicit_prepare(Fp, Up, p)
+        w_ut = p.dt * _lap_from_padded(Up, p)
+        sc_r = float(jnp.max(jnp.abs(w_r0)))
+        sc_u = float(jnp.max(jnp.abs(w_ut)))
+        r0 = r0_pair[0].astype(jnp.float64) + r0_pair[1].astype(jnp.float64)
+        ut = ut_pair[0].astype(jnp.float64) + ut_pair[1].astype(jnp.float64)
+        # the PAIR residuals agree at pair precision (the refinement
+        # depends on this; the hi planes alone only reach f32 rounding)
+        assert float(jnp.max(jnp.abs(r0 - w_r0))) < 1e-11 * sc_r
+        assert float(jnp.max(jnp.abs(ut - w_ut))) < 1e-11 * sc_u
+
+    def test_step_matches_f64_solver(self):
+        """The full dd S-I step (prepare + f32 delta CG + pair add-back)
+        tracks the f64 XLA S-I step to delta-f32 accuracy -- far below
+        the 5e-9 residual tolerance both converge to."""
+        from bachelors_tpu.solvers.semi_implicit import semi_implicit_step_based
+        from bachelors_tpu.ops.pallas_dd import wants_dd_si
+
+        p_dd = self.make_si_p(backend="pallas")
+        p_or = p_dd.replace(backend="xla")
+        F, U = fields(p_or, seed=37)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            assert wants_dd_si(p_dd, TOPO)
+            nF, nU, rF, rU = semi_implicit_step_based(F, U, U, p_dd, TOPO)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        wF, wU, wrF, wrU = semi_implicit_step_based(F, U, U, p_or, TOPO)
+        # states agree to a few ulp_f32 of the per-step DELTA (the rough
+        # random ICs make the delta O(0.04) here; physical fields sit far
+        # lower) -- the loose sanity bound
+        dF_scale = float(jnp.max(jnp.abs(wF - F)))
+        dU_scale = float(jnp.max(jnp.abs(wU - U)))
+        assert float(jnp.max(jnp.abs(nF - wF))) < 1e-6 * dF_scale + 1e-12
+        assert float(jnp.max(jnp.abs(nU - wU))) < 1e-6 * dU_scale + 1e-12
+        # THE equal-precision contract: the dd solution's TRUE residual
+        # (back-substituted in f64) meets the same RMS <= tolerance bound
+        # the reference's f64 CG stops at (`simulation.cu:608`)
+        from bachelors_tpu.solvers.semi_implicit import back_substitution_error
+
+        eF64, eU64 = back_substitution_error(nF, nU, F, U, U, p_or, TOPO)
+        # with one round of pair-precision iterative refinement the f32
+        # rounding floor of r0/e is corrected away; small multiple covers
+        # the Lmax-vs-RMS gap of the stopping criterion
+        assert float(eF64) < 5 * p_or.Phi_tolerance
+        assert float(eU64) < 5 * p_or.T_tolerance
+        # converged on both paths
+        assert bool(rF.converged) and bool(rU.converged)
+        assert bool(wrF.converged) and bool(wrU.converged)
+
+    def test_gating(self):
+        from bachelors_tpu.ops.pallas_dd import wants_dd_si
+
+        assert not wants_dd_si(self.make_si_p(backend="pallas",
+                                              do_corrector_loop=True,
+                                              corrector_max_iters=2), TOPO)
+        assert not wants_dd_si(self.make_si_p(backend="xla"), TOPO)
