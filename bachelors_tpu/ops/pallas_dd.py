@@ -59,8 +59,15 @@ def supports_dd(p: SimParams) -> bool:
     """Whether the df64 fused kernels handle this config (else XLA f64)."""
     if p.dtype != "float64":
         return False
-    if p.S != 0.0 or p.do_corrector_guess:
+    if p.do_corrector_guess:
         return False
+    if p.S != 0.0:
+        # anisotropy: integer-m0 Chebyshev recurrence in f32, which IS
+        # the reference's own f64-build precision (cosf/sqrtf); the
+        # strict full-precision-transcendentals mode has no dd g(theta)
+        if not (float(p.m0).is_integer() and p.m0 >= 1
+                and p.f32_transcendentals):
+            return False
     if p.nx % 128 != 0 or p.ny % 8 != 0 or p.ny < 16:
         return False
     return _tile_dd(p.ny, p.nx) >= 8
@@ -82,16 +89,27 @@ def wants_dd_si(p: SimParams, topo) -> bool:
     delta-CG with pair-precision iterative refinement + pair add-back
     (`solvers.semi_implicit`).  The corrector loop re-solves with a
     frozen U_base (needs pair-state deltas), the differentiable path
-    needs the adjoint XLA solves, and gamma != 1 adds a state-scale b_U
+    needs the adjoint XLA solves, gamma != 1 adds a state-scale b_U
     term the refinement kernels do not carry (no shipped config uses
-    it) -- all fall back to the XLA f64 path."""
+    it), and anisotropy makes the phase system's s-map vary per cell
+    (the dd prepare/refinement assume the constant-s folded stencil) --
+    all fall back to the XLA f64 path."""
     return (wants_dd(p, topo) and not p.do_corrector_loop
-            and not p.differentiable and p.gamma == 1.0)
+            and not p.differentiable and p.gamma == 1.0 and p.S == 0.0)
 
 
 def _make_physics_dd(p: SimParams):
-    """df64 twin of `pallas_rhs._make_physics` (isotropic family)."""
-    assert p.S == 0.0 and not p.do_corrector_guess
+    """df64 twin of `pallas_rhs._make_physics`.
+
+    Anisotropy (S != 0): the factor g(theta) is evaluated in PLAIN f32
+    from the hi-plane gradients via the same integer-m0 Chebyshev
+    recurrence as the f32 kernels (`pallas_rhs._g_theta_vpu`) -- the
+    reference's own Real=double build computes it with cosf/sqrtf
+    (`simulation.cu:14-17`), so f32 here IS the reference's precision;
+    `supports_dd` therefore requires f32_transcendentals for S != 0.
+    """
+    assert not p.do_corrector_guess
+    assert p.S == 0.0 or p.f32_transcendentals
     dx, dy = p.dx, p.dy
     inv_2dx, inv_2dy = 1.0 / (2 * dx), 1.0 / (2 * dy)
     inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
@@ -119,11 +137,17 @@ def _make_physics_dd(p: SimParams):
             grad_norm = (jnp.sqrt(r2), jnp.zeros_like(r2))
         else:
             grad_norm = dd.sqrt0(dd.add(dd.sqr(gx), dd.sqr(gy)))
+        from .pallas_rhs import _g_theta_vpu
+
+        g32 = _g_theta_vpu(gx[0], gy[0], grad_norm[0], p)  # None if S == 0
         k2 = dd.mul_const(grad_norm, k2_factor)
         k0 = dd.mul_const(
             dd.mul(dd.mul(Fc, dd.add_f32(dd.neg(Fc), 1.0)),
                    dd.cadd(Fc, -0.5)), k0_factor)
         k1_lap = dd.mul_const(lap_F, k1_factor)
+        if g32 is not None:
+            k0 = dd.mul_f32(k0, g32)
+            k1_lap = dd.mul_f32(k1_lap, g32)
         dt_F = dd.sub(dd.add(k1_lap, k0), dd.mul(k2, dd.cadd(Uc, -p.Tm)))
         dt_U = dd.add(dd.add(lap_U, dd.mul_const(dt_F, p.L)), fu)
         return dt_F, dt_U

@@ -97,6 +97,19 @@ class TestEulerDD:
         assert relerr(nF, F + p.dt * dF) < 1e-7
         assert relerr(nU, U + p.dt * dU) < 1e-7
 
+    def test_anisotropic_matches_f64_oracle(self):
+        """S != 0: the dd kernel evaluates g(theta) in f32 via the
+        Chebyshev recurrence (the reference's own f64 build uses
+        cosf/sqrtf, so f32 here IS reference precision); agreement with
+        the f64-oracle-with-f32-transcendentals is at that level."""
+        p = make_p(S=0.25, m0=6.0, f32_transcendentals=True)
+        assert supports_dd(p)
+        F, U = fields(p, seed=41)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < 2e-7
+        assert relerr(nU, U + p.dt * dU) < 2e-7
+
     def test_forcing_term(self):
         p = make_p()
         F, U = fields(p, seed=11)
@@ -213,7 +226,9 @@ class TestGating:
     def test_supports_dd(self):
         assert supports_dd(make_p())
         assert not supports_dd(make_p(dtype="float32"))
-        assert not supports_dd(make_p(S=0.25, m0=6.0))
+        assert not supports_dd(make_p(S=0.25, m0=6.0))  # strict sqrt mode
+        assert supports_dd(make_p(S=0.25, m0=6.0, f32_transcendentals=True))
+        assert not supports_dd(make_p(S=0.25, m0=5.5, f32_transcendentals=True))
         assert not supports_dd(make_p(nx=100))
         assert not supports_dd(make_p(do_corrector_guess=True))
 
