@@ -237,8 +237,9 @@ class TestSolverPlumbingDD:
         # values' 1e5 dynamic range that reaches a few e-11
         assert relerr(got[0], want[0]) < 1e-9
         assert relerr(got[1], want[1]) < 1e-9
-        # same tau decision and iteration count
-        np.testing.assert_allclose(float(got[3]), float(want[3]), rtol=1e-9)
+        # same tau decision (to the f32 rounding of the error maxima the
+        # kernel reports) and same iteration count
+        np.testing.assert_allclose(float(got[3]), float(want[3]), rtol=1e-6)
         assert int(got[4]) == int(want[4])
         assert bool(got[5]) == bool(want[5])
 
