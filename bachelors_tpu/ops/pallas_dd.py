@@ -174,7 +174,8 @@ def _shift_x_dd(A, bc: BoundaryType, dv):
     return east, west
 
 
-def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
+def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
+                             ghost: bool = False):
     """df64 twin of `pallas_rhs._make_fullstep_kernel` + the fused
     multi-step Euler mode.
 
@@ -206,10 +207,20 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
     def kernel(*refs):
         (scal, Fhc, Fhn, Fhs, Uhc, Uhn, Uhs,
          Flc, Fln, Fls, Ulc, Uln, Uls) = refs[:13]
-        outs = refs[13:]
+        rest = refs[13:]
+        if ghost:
+            (gFh_lo, gFh_hi, gUh_lo, gUh_hi,
+             gFl_lo, gFl_hi, gUl_lo, gUl_hi) = rest[:8]
+            outs = rest[8:]
+        else:
+            outs = rest
         d = (scal[0, 0], scal[0, 1])
         fu = (scal[0, 2], scal[0, 3])
         tau = (scal[0, 4], scal[0, 5])
+        if ghost:
+            # global-domain-edge flags (from lax.axis_index, via SMEM)
+            shard_first = scal[0, 6] > 0.5
+            shard_last = scal[0, 7] > 0.5
 
         extF = (jnp.concatenate([Fhs[:], Fhc[:], Fhn[:]], axis=0),
                 jnp.concatenate([Fls[:], Flc[:], Fln[:]], axis=0))
@@ -218,11 +229,22 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
         tye = extF[0].shape[0]
         ty = outs[0].shape[0]
 
+        if ghost:
+            # neighbor-shard slabs replace the (wrong) same-shard halo rows
+            # at shard-edge programs, per pair component
+            # (`pallas_rhs._splice_slabs`)
+            from .pallas_rhs import _splice_slabs
+
+            extF = (_splice_slabs(extF[0], gFh_lo, gFh_hi),
+                    _splice_slabs(extF[1], gFl_lo, gFl_hi))
+            extU = (_splice_slabs(extU[0], gUh_lo, gUh_hi),
+                    _splice_slabs(extU[1], gUl_lo, gUl_hi))
+
         def fix(ext, bc, dv):
             # BC images in the 8-row edge regions of edge programs
             # (`_make_fullstep_kernel.fix`), per df64 component
             if bc == BoundaryType.PERIODIC:
-                return ext
+                return ext  # (sharded: the ring-ppermuted slabs ARE the wrap)
             i = pl.program_id(0)
             n = pl.num_programs(0)
             rows = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
@@ -234,6 +256,11 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
                 hi_img = dd.sub(tw, hi_img)
             lo_mask = jnp.logical_and(rows < 8, i == 0)
             hi_mask = jnp.logical_and(rows >= tye - 8, i == n - 1)
+            if ghost:
+                # BC images only at GLOBAL domain edges; interior shard
+                # seams keep the spliced neighbor rows
+                lo_mask = jnp.logical_and(lo_mask, shard_first)
+                hi_mask = jnp.logical_and(hi_mask, shard_last)
             h = jnp.where(lo_mask, lo_img[0], ext[0])
             h = jnp.where(hi_mask, hi_img[0], h)
             l = jnp.where(lo_mask, lo_img[1], ext[1])
@@ -355,35 +382,50 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1):
 
 
 def _fullstep_call_dd(p: SimParams, scheme: str, interpret: bool, T: int,
-                      Fh, Fl, Uh, Ul, scal):
+                      Fh, Fl, Uh, Ul, scal, ghosts=None):
     # interpret mode also goes through jit: eager op-by-op execution of
     # the interpreter's df64 stage chains takes minutes per call at test
     # sizes, and with the EFT guards (df64.eft_guards) the compiled
     # XLA:CPU path is exact
-    return _fullstep_jit_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal)
+    return _fullstep_jit_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal,
+                            ghosts)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "scheme", "interpret", "T"))
 def _fullstep_jit_dd(p: SimParams, scheme: str, interpret: bool, T: int,
-                     Fh, Fl, Uh, Ul, scal):
-    return _fullstep_impl_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal)
+                     Fh, Fl, Uh, Ul, scal, ghosts=None):
+    return _fullstep_impl_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal,
+                             ghosts)
 
 
 def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
-                      Fh, Fl, Uh, Ul, scal):
-    ny, nx = p.ny, p.nx
+                      Fh, Fl, Uh, Ul, scal, ghosts=None):
+    ny, nx = Fh.shape  # local shard shape (== p.ny/p.nx single-chip)
     ty = _tile_dd(ny, nx)
     grid = ny // ty
+    ghost = ghosts is not None
     with_err = scheme == "rkm"
-    in_specs, out_specs = _specs(p, ty, 2, with_err=with_err, n_out=4,
-                                 n_scal=6)
-    kernel = _make_fullstep_kernel_dd(p, scheme, T)
+    # the spec view carries the LOCAL shape; physics constants keep the
+    # global p (dx/dy derive from the global grid)
+    pv = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
+    in_specs, out_specs = _specs(pv, ty, 2, with_err=with_err, n_out=4,
+                                 n_scal=8 if ghost else 6, ghost=ghost)
+    if ghost:
+        # _specs appends 4 ghost-slab specs; the dd pair needs 4 more
+        # (hi slabs then lo slabs)
+        for _ in range(4):
+            in_specs.append(pl.BlockSpec((8, nx), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+    kernel = _make_fullstep_kernel_dd(p, scheme, T, ghost=ghost)
     shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
     out_shape = [shape] * 4
     if with_err:
         err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
         out_shape += [err_shape, err_shape]
     n_stages = {"euler": T, "rk4": 4, "rkm": 5, "si": 1}[scheme]
+    args = (scal, Fh, Fh, Fh, Uh, Uh, Uh, Fl, Fl, Fl, Ul, Ul, Ul)
+    if ghost:
+        args += tuple(ghosts)
     # interpret mode executes on XLA:CPU, whose LLVM codegen contracts
     # mul+add into FMA and silently breaks the df64 error-free
     # transforms; trace with the contraction guards there (off on the
@@ -401,13 +443,13 @@ def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=n_stages * 600 * p.N,  # ~15 f32 flops per df64 op
-                bytes_accessed=8 * p.N * 4,
-                transcendentals=n_stages * p.N,
+                flops=n_stages * 600 * ny * nx,  # ~15 f32 flops per df64 op
+                bytes_accessed=8 * ny * nx * 4,
+                transcendentals=n_stages * ny * nx,
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(scal, Fh, Fh, Fh, Uh, Uh, Uh, Fl, Fl, Fl, Ul, Ul, Ul)
+        )(*args)
     return tuple(out)
 
 
@@ -424,11 +466,13 @@ def _split_scalar(x):
     return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
 
 
-def _scal_row(dirichlet_value, fu, tau):
+def _scal_row(dirichlet_value, fu, tau, extra=()):
     parts = []
     for v in (dirichlet_value, fu, tau):
         parts += list(_split_scalar(v))
-    return jnp.stack([jnp.asarray(v, jnp.float32) for v in parts]).reshape(1, 6)
+    parts += list(extra)  # ghost mode: (shard_first, shard_last) flags
+    n = 6 + len(extra)
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in parts]).reshape(1, n)
 
 
 # --- pair-level API (df64 state carried by the caller; no conversions) ---
@@ -574,6 +618,103 @@ def heat_residual_dd(ut_pair, eF_pair, e, A, L, interpret=False):
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, ut_pair[0], ut_pair[1],
                                 eF_pair[0], eF_pair[1])
+
+
+def supports_dd_sharded(p: SimParams, ny_local: int, nx_local: int = 0) -> bool:
+    """Ghost-slab df64 whole-integrator feasibility on a y-sharded local
+    shard (x unsharded, like the f32 fullstep slabs)."""
+    nx_local = nx_local or p.nx
+    if not supports_dd(p.replace(ny=ny_local, nx=nx_local)):
+        return False
+    return _tile_dd(ny_local, nx_local) >= 8
+
+
+def wants_dd_sharded(p: SimParams, topo, ny_local: int,
+                     nx_local: int = 0) -> bool:
+    """Gate for the ghost-slab df64 kernels on a 1D y-mesh."""
+    from .rhs import _on_tpu_or_forced
+
+    return (p.backend != "xla" and topo.is_sharded and topo.axis_x is None
+            and topo.axis_y is not None
+            and supports_dd_sharded(p, ny_local, nx_local)
+            and _on_tpu_or_forced(p))
+
+
+def ghost_slabs_dd(pair, axis_y: str):
+    """Exchange the 8-row edge slabs of all four pair planes over ICI.
+
+    Mirrors `pallas_rhs._ghost_slabs` but stacks (hi, lo) into ONE
+    (16, nx) message per field per direction, so the collective count per
+    step equals the f32 path's (4 ppermutes) at 2x the bytes.  Returns 8
+    (8, nx) slabs ordered (gFh_lo, gFh_hi, gUh_lo, gUh_hi, gFl_lo,
+    gFl_hi, gUl_lo, gUl_hi) -- the kernel's ghost operand order."""
+    from jax import lax
+
+    Fh, Fl, Uh, Ul = pair
+    n = lax.axis_size(axis_y)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def ex(h, l):
+        lo = lax.ppermute(jnp.concatenate([h[-8:], l[-8:]], axis=0),
+                          axis_y, fwd)
+        hi = lax.ppermute(jnp.concatenate([h[:8], l[:8]], axis=0),
+                          axis_y, bwd)
+        return lo[:8], hi[:8], lo[8:], hi[8:]  # (hi-plane lo/hi, lo-plane lo/hi)
+
+    gFh_lo, gFh_hi, gFl_lo, gFl_hi = ex(Fh, Fl)
+    gUh_lo, gUh_hi, gUl_lo, gUl_hi = ex(Uh, Ul)
+    return (gFh_lo, gFh_hi, gUh_lo, gUh_hi, gFl_lo, gFl_hi, gUl_lo, gUl_hi)
+
+
+def _shard_flags(axis_y: str):
+    from jax import lax
+
+    idx = lax.axis_index(axis_y)
+    n = lax.axis_size(axis_y)
+    return ((idx == 0).astype(jnp.float32), (idx == n - 1).astype(jnp.float32))
+
+
+def euler_steps_dd_pair_sharded(pair, p: SimParams, axis_y: str,
+                                T: int = EULER_DD_BLOCK_STEPS, fu=0.0,
+                                dirichlet_value=0.0, interpret=False):
+    """T fused Euler steps per shard with one slab exchange (depth T <= 8)."""
+    g = ghost_slabs_dd(pair, axis_y)
+    first, last = _shard_flags(axis_y)
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "euler", interpret or FORCE_INTERPRET, T,
+                          Fh, Fl, Uh, Ul,
+                          _scal_row(dirichlet_value, fu, 0.0, (first, last)),
+                          ghosts=g)
+    return (o[0], o[2], o[1], o[3])
+
+
+def rk4_full_dd_pair_sharded(pair, p: SimParams, axis_y: str, fu=0.0,
+                             dirichlet_value=0.0, interpret=False):
+    g = ghost_slabs_dd(pair, axis_y)
+    first, last = _shard_flags(axis_y)
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "rk4", interpret or FORCE_INTERPRET, 1,
+                          Fh, Fl, Uh, Ul,
+                          _scal_row(dirichlet_value, fu, 0.0, (first, last)),
+                          ghosts=g)
+    return (o[0], o[2], o[1], o[3])
+
+
+def rkm_attempt_dd_pair_sharded(pair, tau, p: SimParams, axis_y: str, fu=0.0,
+                                dirichlet_value=0.0, interpret=False,
+                                slabs=None, flags=None):
+    """One Merson attempt per shard; returns (pair', emax_F, emax_U) with
+    SHARD-LOCAL f32 maxima (caller pmaxes).  ``slabs``/``flags`` allow the
+    solver to hoist the tau-invariant collectives out of the retry loop."""
+    g = slabs if slabs is not None else ghost_slabs_dd(pair, axis_y)
+    first, last = flags if flags is not None else _shard_flags(axis_y)
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "rkm", interpret or FORCE_INTERPRET, 1,
+                          Fh, Fl, Uh, Ul,
+                          _scal_row(dirichlet_value, fu, tau, (first, last)),
+                          ghosts=g)
+    return (o[0], o[2], o[1], o[3]), jnp.max(o[4]), jnp.max(o[5])
 
 
 def pair_add_f32(pair, e_F, e_U):

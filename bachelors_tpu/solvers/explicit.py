@@ -26,12 +26,19 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
     temperature update integrates from U_base."""
     if same_base:
         if F.dtype == jnp.float64:
-            from ..ops.pallas_dd import euler_steps_dd, wants_dd
+            from ..ops.pallas_dd import (euler_steps_dd,
+                                         euler_steps_dd_pair_sharded,
+                                         pair_to_state, state_to_pair,
+                                         wants_dd, wants_dd_sharded)
 
             if wants_dd(p, topo):
                 # fused df64 step: f64-grade precision without XLA's
                 # per-op f64 software emulation (ops/pallas_dd.py)
                 return euler_steps_dd(F, U, p, T=1, fu=fu)
+            if wants_dd_sharded(p, topo, F.shape[0], F.shape[1]):
+                out = euler_steps_dd_pair_sharded(
+                    state_to_pair(F, U), p, topo.axis_y, T=1, fu=fu)
+                return pair_to_state(out)
         return euler_eval([(F, U)], [1.0], p, topo, fu)
     dF, dU = eval_rhs([(F, U)], [1.0], p, topo, fu)
     return F + p.dt * dF, U_base + p.dt * dU
@@ -77,12 +84,44 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
     if p.dtype == "float64":
         # df64 fused multi-step Euler: the f64<->pair conversions amortize
         # over EULER_DD_BLOCK_STEPS steps per HBM pass (ops/pallas_dd.py)
-        from ..ops.pallas_dd import (EULER_DD_BLOCK_STEPS, euler_steps_dd,
-                                     wants_dd)
+        from ..ops.pallas_dd import (EULER_DD_BLOCK_STEPS,
+                                     euler_steps_dd,
+                                     euler_steps_dd_pair_sharded,
+                                     pair_to_state, state_to_pair, wants_dd,
+                                     wants_dd_sharded)
 
-        if topo.is_sharded or not wants_dd(p, topo):
-            return None
         Tdd = EULER_DD_BLOCK_STEPS
+        if topo.is_sharded:
+            if mesh is None or topo.axis_x is not None or topo.axis_batch:
+                return None
+            n_y = int(mesh.shape[topo.axis_y])
+            ny_local = p.ny // n_y
+            if not wants_dd_sharded(p, topo, ny_local, p.nx):
+                return None
+            import jax
+
+            from ..parallel.sharded import _state_specs
+
+            def pair_inner(state):
+                out = euler_steps_dd_pair_sharded(
+                    state_to_pair(state.F, state.U), p, topo.axis_y, T=Tdd)
+                F2, U2 = pair_to_state(out)
+                t_next = (state.iter.astype(state.t.dtype) + Tdd) * \
+                    jnp.asarray(p.dt, state.t.dtype)
+                return state.replace(F=F2, U=U2, t=t_next,
+                                     iter=state.iter + Tdd)
+
+            specs = _state_specs(topo)
+            shmapped = jax.shard_map(pair_inner, mesh=mesh, in_specs=(specs,),
+                                     out_specs=specs, check_vma=False)
+
+            def pair_dd_sh(state):
+                return shmapped(state)
+
+            pair_dd_sh.block_steps = Tdd
+            return pair_dd_sh
+        if not wants_dd(p, topo):
+            return None
 
         def pair_dd(state):
             F2, U2 = euler_steps_dd(state.F, state.U, p, T=Tdd)
@@ -172,12 +211,19 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
     from ..ops.rhs import _resolve_backend
 
     if F.dtype == jnp.float64:
-        from ..ops.pallas_dd import rk4_full_dd, wants_dd
+        from ..ops.pallas_dd import (pair_to_state, rk4_full_dd,
+                                     rk4_full_dd_pair_sharded, state_to_pair,
+                                     wants_dd, wants_dd_sharded)
 
         if wants_dd(p, topo):
             # whole-step df64 fusion: k1..k4 + combination in one HBM
             # pass at ~2^-48 precision (ops/pallas_dd.py)
             return rk4_full_dd(F, U, p, fu)
+        if wants_dd_sharded(p, topo, F.shape[0], F.shape[1]):
+            # ghost-slab df64 whole step: one slab exchange per field
+            out = rk4_full_dd_pair_sharded(state_to_pair(F, U), p,
+                                           topo.axis_y, fu)
+            return pair_to_state(out)
 
     backend_full = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
                                     nx_local=F.shape[1])
@@ -263,8 +309,12 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     tol_F = jnp.asarray(p.Phi_tolerance, dtype)
     tol_U = jnp.asarray(p.T_tolerance, dtype)
     dd_pair0 = None
+    dd_sharded = False
+    dd_slabs = dd_flags = None
     if F.dtype == jnp.float64:
-        from ..ops.pallas_dd import state_to_pair, wants_dd
+        from ..ops.pallas_dd import (_shard_flags, ghost_slabs_dd,
+                                     state_to_pair, wants_dd,
+                                     wants_dd_sharded)
 
         if wants_dd(p, topo):
             # df64 whole-attempt fusion: the f64 state is split into f32
@@ -272,6 +322,14 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
             # retries); each attempt is one fused kernel pass and the
             # winning candidate is joined back to f64 after the loop.
             dd_pair0 = state_to_pair(F, U)
+        elif wants_dd_sharded(p, topo, F.shape[0], F.shape[1]):
+            # sharded twin: the pair AND its ghost slabs are tau-invariant,
+            # so the 4 ICI collectives hoist out of the retry while_loop
+            # (same discipline as the f32 full_sharded path below)
+            dd_pair0 = state_to_pair(F, U)
+            dd_sharded = True
+            dd_slabs = ghost_slabs_dd(dd_pair0, topo.axis_y)
+            dd_flags = _shard_flags(topo.axis_y)
 
     backend = ("xla" if dd_pair0 is not None else
                _resolve_backend(p, topo, 4, ny_local=F.shape[0],
@@ -322,9 +380,18 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
         host readback, `simulation.cu:427-435`).
         """
         if dd_pair0 is not None:
-            from ..ops.pallas_dd import rkm_attempt_dd_pair
+            from ..ops.pallas_dd import (rkm_attempt_dd_pair,
+                                         rkm_attempt_dd_pair_sharded)
 
-            cand, emax_F, emax_U = rkm_attempt_dd_pair(dd_pair0, tau, p, fu)
+            if dd_sharded:
+                cand, emax_F, emax_U = rkm_attempt_dd_pair_sharded(
+                    dd_pair0, tau, p, topo.axis_y, fu,
+                    slabs=dd_slabs, flags=dd_flags)
+                emax_F = topo.allmax(emax_F)
+                emax_U = topo.allmax(emax_U)
+            else:
+                cand, emax_F, emax_U = rkm_attempt_dd_pair(dd_pair0, tau, p,
+                                                           fu)
             return (cand, tau / 3 * emax_F.astype(dtype),
                     tau / 3 * emax_U.astype(dtype))
         if full_sharded:

@@ -70,7 +70,7 @@ class TestEulerDD:
         assert relerr(nF, F + p.dt * dF) < 1e-12
         assert relerr(nU, U + p.dt * dU) < 1e-12
 
-    @pytest.mark.slow  # T=4 interpret graph: minutes of XLA:CPU compile
+    @pytest.mark.dd_compile_heavy  # T=4 interpret graph: ~20 min compile
     def test_four_fused_steps_match_four_single(self):
         p = make_p()
         F, U = fields(p, seed=7)
@@ -120,7 +120,7 @@ class TestEulerDD:
         assert relerr(nF, F + p.dt * dF) < 1e-12
 
 
-@pytest.mark.slow  # 4-stage interpret graphs: minutes of XLA:CPU compile
+@pytest.mark.dd_compile_heavy  # 4-stage interpret graph: ~20+ min compile
 class TestRK4DD:
     # one BC: the BC/seam machinery is the same code across schemes and
     # gets its 3-BC coverage from the cheap Euler T=1 graphs + RKM
@@ -155,7 +155,7 @@ def staged_rkm_oracle(F, U, tau, p, fu=0.0):
     return wF, wU, float(eF), float(eU), float(jnp.max(jnp.abs(k1[0])))
 
 
-@pytest.mark.slow  # 5-stage interpret graphs: the heaviest compiles here
+@pytest.mark.dd_compile_heavy  # 5-stage interpret graph: the heaviest compile
 class TestRKMDD:
     # one BC: BC/seam machinery gets 3-BC coverage from the Euler graphs;
     # the anisotropy/BC matrix is also exercised on real hardware (the f64

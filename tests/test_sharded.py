@@ -341,3 +341,49 @@ def test_sharded_rkm_fullstep_solver_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(out.U), np.asarray(want.U),
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(float(out.tau), float(want.tau), rtol=1e-4)
+
+
+@pytest.mark.dd_compile_heavy  # shard_map x df64 interpret: huge compile
+def test_sharded_dd_euler_pair_stepper():
+    """float64 on a y-mesh rides the ghost-slab df64 pair kernels: the
+    (hi, lo) slab exchange + in-kernel seam advancement matches T single
+    steps of the XLA f64 oracle at pair precision."""
+    import numpy as np
+
+    import bachelors_tpu as bt
+    import bachelors_tpu.ops.pallas_dd as pdd
+    from bachelors_tpu.parallel.mesh import make_mesh, shard_state
+    from bachelors_tpu.solvers.explicit import make_euler_pair_stepper
+    from bachelors_tpu.solvers.run import advance_n
+    from bachelors_tpu.solvers.base import make_stepper
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    mesh, topo = make_mesh(shards_y=2)
+    p = bt.SimParams(nx=128, ny=64, L0=4.0, dt=5e-6, S=0.0,
+                     solver=bt.SolverType.EXPLICIT_EULER,
+                     dtype="float64", backend="pallas",
+                     f32_transcendentals=False)
+
+    pdd.FORCE_INTERPRET = True
+    try:
+        pair = make_euler_pair_stepper(p, topo, mesh=mesh)
+        assert pair is not None and pair.block_steps == 4
+
+        F, U = bt.make_initial_fields(p, bt.InitialConditions(
+            circle_center=(2.0, 2.0), circle_radius=0.4, circle_fade=4.0))
+        F = F.astype(jnp.float64)
+        U = U.astype(jnp.float64)
+        st = bt.make_state(F, U, p)
+        with jax.set_mesh(mesh):
+            out = pair(shard_state(st, mesh, topo))
+    finally:
+        pdd.FORCE_INTERPRET = False
+
+    p_x = p.replace(backend="xla")
+    want = advance_n(make_stepper(p_x), st, pair.block_steps)
+    scale = float(np.abs(np.asarray(want.F)).max())
+    assert np.abs(np.asarray(out.F) - np.asarray(want.F)).max() < 1e-12 * scale
+    assert np.abs(np.asarray(out.U) - np.asarray(want.U)).max() < 1e-12
+    assert int(out.iter) == pair.block_steps
