@@ -18,11 +18,16 @@ number the reference's f64 solver actually computes.  The true-f64 XLA
 path remains available (`[tpu] backend = xla`) and is the oracle these
 kernels are tested against (tests/test_pallas_dd.py).
 
-Scope (v1): single-chip, isotropic (S == 0 -- the entire benchmark
-family) or integer-m0 anisotropy is NOT yet supported, and no
-corrector-guess (needs df64 division).  Multi-chip f64 rides the XLA
-path.  Reference parity: the solvers dispatched here implement
-`simulation.cu:283-497` (Euler/RK4/Merson) at Real=double.
+Scope: Euler (fused T<=8 temporal blocking), RK4 and the Merson attempt
+as whole-step kernels; the semi-implicit delta-form prepare and the
+mixed-precision refinement residual kernels (`solvers/semi_implicit`);
+isotropic AND integer-m0 anisotropic physics (g(theta) in f32 via the
+Chebyshev recurrence -- the reference's own cosf precision; requires
+f32_transcendentals); y-sharded meshes via (hi, lo) ghost slabs.
+Fallbacks to the XLA f64 path: corrector-guess (needs df64 division),
+x-sharded/2D meshes, strict-sqrt anisotropy.  Reference parity: the
+solvers dispatched here implement `simulation.cu:283-926` at
+Real=double.
 """
 from __future__ import annotations
 
@@ -189,16 +194,16 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
       scheme="si":    semi-implicit DELTA-form prepare
                       (`models.allen_cahn.semi_implicit_prepare`,
                       isotropic no-guess family): emits r0_F = dt*dt_F and
-                      uterm = dt*lap(U) as SINGLE f32 planes -- both are
-                      O(dt)-scale deltas whose f32 representation error
-                      (~2^-24 relative to the delta) sits orders below the
-                      5e-9 scaled CG tolerance, so the f32 fused CG solves
-                      them directly and only the state add-back needs pair
-                      arithmetic.
+                      uterm = dt*lap(U) as f32 PAIRS -- the hi planes feed
+                      the f32 delta CG (the deltas are O(dt)-scale), the
+                      lo planes feed the pair-precision refinement
+                      residual (`cross_residual_dd`).
 
-    Ref layout: scal (1,6) SMEM [d_hi, d_lo, fu_hi, fu_lo, tau_hi,
-    tau_lo]; 12 field blocks (hi planes then lo planes, each as
-    center + 8-row halo groups); outputs [Fh, Uh, Fl, Ul (+ errF, errU)].
+    Ref layout: scal (1, 6|8) SMEM [d_hi, d_lo, fu_hi, fu_lo, tau_hi,
+    tau_lo (+ shard_first, shard_last when ghost)]; 12 field blocks (hi
+    planes then lo planes, each as center + 8-row halo groups); ghost
+    mode adds 8 neighbor-slab blocks; outputs [Fh, Uh, Fl, Ul
+    (+ errF, errU)] (si: [r0h, uth, r0l, utl]).
     """
     assert scheme in ("euler", "rk4", "rkm", "si")
     f_bc, u_bc = p.Phi_boundary, p.T_boundary
