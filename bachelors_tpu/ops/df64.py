@@ -220,6 +220,18 @@ def mul_const(x, c: float):
     return mul(x, (jnp.float32(hi), jnp.float32(lo)))
 
 
+def div(x, y):
+    """df64 x / y via reciprocal seed + one Karp-Markstein refinement
+    (~2^-46 relative): q0 = x * (1/y_hi) is f32-accurate, the residual
+    x - q0*y is computed in df64 (that difference IS the information),
+    and its quotient by y needs only f32 accuracy since it scales a
+    ~2^-24-small correction."""
+    r = jnp.float32(1.0) / y[0]
+    q0 = mul_f32(x, r)
+    e = sub(x, mul(q0, y))
+    return add(q0, (e[0] * r, e[1] * r))
+
+
 def sqrt(x):
     """df64 sqrt: f32 rsqrt seed + one df64 Newton correction
     (Karp-Markstein style), ~2^-47 relative.  Domain x > 0; callers

@@ -64,8 +64,6 @@ def supports_dd(p: SimParams) -> bool:
     """Whether the df64 fused kernels handle this config (else XLA f64)."""
     if p.dtype != "float64":
         return False
-    if p.do_corrector_guess:
-        return False
     if p.S != 0.0:
         # anisotropy: integer-m0 Chebyshev recurrence in f32, which IS
         # the reference's own f64-build precision (cosf/sqrtf); the
@@ -100,6 +98,7 @@ def wants_dd_si(p: SimParams, topo) -> bool:
     (the dd prepare/refinement assume the constant-s folded stencil) --
     all fall back to the XLA f64 path."""
     return (wants_dd(p, topo) and not p.do_corrector_loop
+            and not p.do_corrector_guess  # s-map varies per cell
             and not p.differentiable and p.gamma == 1.0 and p.S == 0.0)
 
 
@@ -113,7 +112,6 @@ def _make_physics_dd(p: SimParams):
     (`simulation.cu:14-17`), so f32 here IS the reference's precision;
     `supports_dd` therefore requires f32_transcendentals for S != 0.
     """
-    assert not p.do_corrector_guess
     assert p.S == 0.0 or p.f32_transcendentals
     dx, dy = p.dx, p.dy
     inv_2dx, inv_2dy = 1.0 / (2 * dx), 1.0 / (2 * dy)
@@ -153,7 +151,16 @@ def _make_physics_dd(p: SimParams):
         if g32 is not None:
             k0 = dd.mul_f32(k0, g32)
             k1_lap = dd.mul_f32(k1_lap, g32)
-        dt_F = dd.sub(dd.add(k1_lap, k0), dd.mul(k2, dd.cadd(Uc, -p.Tm)))
+        if p.do_corrector_guess:
+            # implicit-in-U guess (`simulation.cu:216-226`):
+            #   dt_F = (k1 lap + k0 - k2 (U - Tm + dt lap_U)) / (1 + k2 dt L)
+            num = dd.sub(dd.add(k1_lap, k0),
+                         dd.mul(k2, dd.add(dd.cadd(Uc, -p.Tm),
+                                           dd.mul_const(lap_U, p.dt))))
+            corr = dd.add_f32(dd.mul_const(k2, p.dt * p.L), 1.0)
+            dt_F = dd.div(num, corr)
+        else:
+            dt_F = dd.sub(dd.add(k1_lap, k0), dd.mul(k2, dd.cadd(Uc, -p.Tm)))
         dt_U = dd.add(dd.add(lap_U, dd.mul_const(dt_F, p.L)), fu)
         return dt_F, dt_U
 

@@ -195,3 +195,22 @@ class TestCompiledEFTIntegrity:
         # the unguarded jit is known-collapsed on current XLA:CPU; accept
         # either outcome but fail if it lands in-between (silent drift)
         assert err <= 2 ** -44 or err > 2 ** -30
+
+
+class TestDivision:
+    def test_div_accuracy(self):
+        a = rand(n=4096, scale=5.0, offset=0.1)
+        b = rand(n=4096, scale=2.0, offset=3.5)  # bounded away from 0
+        got = back(df64.div(dd_of(a), dd_of(b)))
+        np.testing.assert_allclose(got, a / b, rtol=2 ** -44)
+
+    def test_div_jitted_with_guards(self):
+        import jax
+
+        a = rand(n=2048, scale=5.0, offset=0.1)
+        b = rand(n=2048, scale=2.0, offset=3.5)
+        x, y = dd_of(a), dd_of(b)
+        with df64.eft_guards(True):
+            f = jax.jit(lambda xh, xl, yh, yl: df64.div((xh, xl), (yh, yl)))
+            got = back(f(x[0], x[1], y[0], y[1]))
+        np.testing.assert_allclose(got, a / b, rtol=2 ** -44)

@@ -110,6 +110,29 @@ class TestEulerDD:
         assert relerr(nF, F + p.dt * dF) < 2e-7
         assert relerr(nU, U + p.dt * dU) < 2e-7
 
+    def test_corrector_guess_matches_f64_oracle(self):
+        """do_corrector_guess: the implicit-in-U guess divides by
+        corr = 1 + k2*dt*L; df64 division (Karp-Markstein) keeps the
+        oracle agreement at the f32-transcendental level the |grad|
+        rounding already imposes."""
+        p = make_p(do_corrector_guess=True, f32_transcendentals=True)
+        assert supports_dd(p)
+        F, U = fields(p, seed=43)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < 2e-7
+        assert relerr(nU, U + p.dt * dU) < 2e-7
+
+    def test_corrector_guess_strict_sqrt(self):
+        """With full-precision transcendentals the guess path holds pair
+        precision end-to-end (div included)."""
+        p = make_p(do_corrector_guess=True)
+        F, U = fields(p, seed=47)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < 1e-12
+        assert relerr(nU, U + p.dt * dU) < 1e-12
+
     def test_forcing_term(self):
         p = make_p()
         F, U = fields(p, seed=11)
@@ -289,7 +312,7 @@ class TestGating:
         assert supports_dd(make_p(S=0.25, m0=6.0, f32_transcendentals=True))
         assert not supports_dd(make_p(S=0.25, m0=5.5, f32_transcendentals=True))
         assert not supports_dd(make_p(nx=100))
-        assert not supports_dd(make_p(do_corrector_guess=True))
+        assert supports_dd(make_p(do_corrector_guess=True))
 
     def test_wants_dd_respects_xla_optout(self):
         from bachelors_tpu.ops.pallas_dd import wants_dd
