@@ -23,10 +23,11 @@ as whole-step kernels; the semi-implicit delta-form prepare and the
 mixed-precision refinement residual kernels (`solvers/semi_implicit`);
 isotropic AND integer-m0 anisotropic physics (g(theta) in f32 via the
 Chebyshev recurrence -- the reference's own cosf precision; requires
-f32_transcendentals); y-sharded meshes via (hi, lo) ghost slabs.
-Fallbacks to the XLA f64 path: corrector-guess (needs df64 division),
-x-sharded/2D meshes, strict-sqrt anisotropy.  Reference parity: the
-solvers dispatched here implement `simulation.cu:283-926` at
+f32_transcendentals); the corrector-guess RHS (df64 Karp-Markstein
+division); y-sharded meshes via (hi, lo) ghost slabs.  Fallbacks to the
+XLA f64 path: x-sharded/2D meshes, strict-sqrt anisotropy, the
+semi-implicit variants whose s-map varies per cell.  Reference parity:
+the solvers dispatched here implement `simulation.cu:283-926` at
 Real=double.
 """
 from __future__ import annotations
