@@ -25,8 +25,8 @@ isotropic AND integer-m0 anisotropic physics (g(theta) in f32 via the
 Chebyshev recurrence -- the reference's own cosf precision; requires
 f32_transcendentals); the corrector-guess RHS (df64 Karp-Markstein
 division); y-sharded meshes via (hi, lo) ghost slabs.  Fallbacks to the
-XLA f64 path: x-sharded/2D meshes, strict-sqrt anisotropy, the
-semi-implicit variants whose s-map varies per cell.  Reference parity:
+XLA f64 path: x-sharded/2D meshes and the semi-implicit variants whose
+s-map varies per cell.  Reference parity:
 the solvers dispatched here implement `simulation.cu:283-926` at
 Real=double.
 """
@@ -66,11 +66,10 @@ def supports_dd(p: SimParams) -> bool:
     if p.dtype != "float64":
         return False
     if p.S != 0.0:
-        # anisotropy: integer-m0 Chebyshev recurrence in f32, which IS
-        # the reference's own f64-build precision (cosf/sqrtf); the
-        # strict full-precision-transcendentals mode has no dd g(theta)
-        if not (float(p.m0).is_integer() and p.m0 >= 1
-                and p.f32_transcendentals):
+        # anisotropy needs the integer-m0 angle-addition recurrence (no
+        # atan2 on the VPU): f32 under the reference's cosf semantics,
+        # full pair precision in strict mode (_g_theta_dd)
+        if not (float(p.m0).is_integer() and p.m0 >= 1):
             return False
     if p.nx % 128 != 0 or p.ny % 8 != 0 or p.ny < 16:
         return False
@@ -103,17 +102,42 @@ def wants_dd_si(p: SimParams, topo) -> bool:
             and not p.differentiable and p.gamma == 1.0 and p.S == 0.0)
 
 
+def _g_theta_dd(gx, gy, grad_norm, p: SimParams):
+    """Pair-precision anisotropy factor g(theta) = 1 - S cos(m0 theta +
+    theta0) for the strict-transcendentals mode: the integer-m0
+    angle-addition recurrence of `pallas_rhs._g_theta_vpu`, run entirely
+    in df64 on (cos t, sin t) = (gx, gy)/|grad| (the recurrence is pure
+    mul/add, so pair arithmetic applies directly; no dd trig needed).
+    Zero-gradient cells take (c, s) = (1, 0) like the reference's
+    atan2(0, 0) == 0 convention."""
+    import math as _math
+
+    safe = grad_norm[0] > 0
+    inv_r = dd.div((jnp.ones_like(grad_norm[0]), jnp.zeros_like(grad_norm[0])),
+                   (jnp.where(safe, grad_norm[0], 1.0),
+                    jnp.where(safe, grad_norm[1], 0.0)))
+    c = dd.mul(gx, inv_r)
+    s = dd.mul(gy, inv_r)
+    c = (jnp.where(safe, c[0], 1.0), jnp.where(safe, c[1], 0.0))
+    s = (jnp.where(safe, s[0], 0.0), jnp.where(safe, s[1], 0.0))
+    ck, sk = c, s
+    for _ in range(int(p.m0) - 1):
+        ck, sk = (dd.sub(dd.mul(ck, c), dd.mul(sk, s)),
+                  dd.add(dd.mul(sk, c), dd.mul(ck, s)))
+    cos_m = dd.sub(dd.mul_const(ck, _math.cos(p.theta0)),
+                   dd.mul_const(sk, _math.sin(p.theta0)))
+    return dd.cadd(dd.mul_const(cos_m, -p.S), 1.0)
+
+
 def _make_physics_dd(p: SimParams):
     """df64 twin of `pallas_rhs._make_physics`.
 
-    Anisotropy (S != 0): the factor g(theta) is evaluated in PLAIN f32
-    from the hi-plane gradients via the same integer-m0 Chebyshev
-    recurrence as the f32 kernels (`pallas_rhs._g_theta_vpu`) -- the
-    reference's own Real=double build computes it with cosf/sqrtf
-    (`simulation.cu:14-17`), so f32 here IS the reference's precision;
-    `supports_dd` therefore requires f32_transcendentals for S != 0.
+    Anisotropy (S != 0): with f32_transcendentals (the reference's own
+    Real=double semantics -- cosf/sqrtf, `simulation.cu:14-17`) the
+    factor g(theta) is evaluated in plain f32 from the hi-plane
+    gradients via `pallas_rhs._g_theta_vpu`; in strict mode the same
+    integer-m0 recurrence runs in full pair precision (`_g_theta_dd`).
     """
-    assert p.S == 0.0 or p.f32_transcendentals
     dx, dy = p.dx, p.dy
     inv_2dx, inv_2dy = 1.0 / (2 * dx), 1.0 / (2 * dy)
     inv_dx2, inv_dy2 = 1.0 / (dx * dx), 1.0 / (dy * dy)
@@ -141,17 +165,22 @@ def _make_physics_dd(p: SimParams):
             grad_norm = (jnp.sqrt(r2), jnp.zeros_like(r2))
         else:
             grad_norm = dd.sqrt0(dd.add(dd.sqr(gx), dd.sqr(gy)))
-        from .pallas_rhs import _g_theta_vpu
-
-        g32 = _g_theta_vpu(gx[0], gy[0], grad_norm[0], p)  # None if S == 0
         k2 = dd.mul_const(grad_norm, k2_factor)
         k0 = dd.mul_const(
             dd.mul(dd.mul(Fc, dd.add_f32(dd.neg(Fc), 1.0)),
                    dd.cadd(Fc, -0.5)), k0_factor)
         k1_lap = dd.mul_const(lap_F, k1_factor)
-        if g32 is not None:
-            k0 = dd.mul_f32(k0, g32)
-            k1_lap = dd.mul_f32(k1_lap, g32)
+        if p.S != 0.0:
+            if p.f32_transcendentals:
+                from .pallas_rhs import _g_theta_vpu
+
+                g32 = _g_theta_vpu(gx[0], gy[0], grad_norm[0], p)
+                k0 = dd.mul_f32(k0, g32)
+                k1_lap = dd.mul_f32(k1_lap, g32)
+            else:
+                g = _g_theta_dd(gx, gy, grad_norm, p)
+                k0 = dd.mul(k0, g)
+                k1_lap = dd.mul(k1_lap, g)
         if p.do_corrector_guess:
             # implicit-in-U guess (`simulation.cu:216-226`):
             #   dt_F = (k1 lap + k0 - k2 (U - Tm + dt lap_U)) / (1 + k2 dt L)

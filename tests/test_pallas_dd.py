@@ -110,6 +110,19 @@ class TestEulerDD:
         assert relerr(nF, F + p.dt * dF) < 2e-7
         assert relerr(nU, U + p.dt * dU) < 2e-7
 
+    def test_anisotropic_strict_sqrt_pair_precision(self):
+        """Strict transcendentals + S != 0: _g_theta_dd runs the
+        angle-addition recurrence in pair arithmetic; oracle agreement
+        at near-pair precision (the oracle computes atan2+cos in f64, a
+        different but mathematically identical formulation)."""
+        p = make_p(S=0.25, m0=6.0)
+        assert supports_dd(p)
+        F, U = fields(p, seed=53)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < 1e-11
+        assert relerr(nU, U + p.dt * dU) < 1e-11
+
     def test_corrector_guess_matches_f64_oracle(self):
         """do_corrector_guess: the implicit-in-U guess divides by
         corr = 1 + k2*dt*L; df64 division (Karp-Markstein) keeps the
@@ -308,7 +321,7 @@ class TestGating:
     def test_supports_dd(self):
         assert supports_dd(make_p())
         assert not supports_dd(make_p(dtype="float32"))
-        assert not supports_dd(make_p(S=0.25, m0=6.0))  # strict sqrt mode
+        assert supports_dd(make_p(S=0.25, m0=6.0))  # strict: _g_theta_dd
         assert supports_dd(make_p(S=0.25, m0=6.0, f32_transcendentals=True))
         assert not supports_dd(make_p(S=0.25, m0=5.5, f32_transcendentals=True))
         assert not supports_dd(make_p(nx=100))
