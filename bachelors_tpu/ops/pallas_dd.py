@@ -21,14 +21,14 @@ kernels are tested against (tests/test_pallas_dd.py).
 Scope: Euler (fused T<=8 temporal blocking), RK4 and the Merson attempt
 as whole-step kernels; the semi-implicit delta-form prepare and the
 mixed-precision refinement residual kernels (`solvers/semi_implicit`);
-isotropic AND integer-m0 anisotropic physics (g(theta) in f32 via the
-Chebyshev recurrence -- the reference's own cosf precision; requires
-f32_transcendentals); the corrector-guess RHS (df64 Karp-Markstein
-division); y-sharded meshes via (hi, lo) ghost slabs.  Fallbacks to the
-XLA f64 path: x-sharded/2D meshes and the semi-implicit variants whose
-s-map varies per cell.  Reference parity:
-the solvers dispatched here implement `simulation.cu:283-926` at
-Real=double.
+isotropic AND integer-m0 anisotropic physics (g(theta) via the
+angle-addition recurrence -- in f32 under the reference's cosf
+semantics, in full pair precision in strict mode); the corrector-guess
+RHS (df64 Karp-Markstein division); y-sharded meshes via (hi, lo)
+ghost slabs.  Fallbacks to the XLA f64 path: x-sharded/2D meshes and
+the semi-implicit variants whose s-map varies per cell.  Reference
+parity: the solvers dispatched here implement `simulation.cu:283-926`
+at Real=double.
 """
 from __future__ import annotations
 
