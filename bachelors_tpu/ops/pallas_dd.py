@@ -90,16 +90,14 @@ def wants_dd(p: SimParams, topo) -> bool:
 def wants_dd_si(p: SimParams, topo) -> bool:
     """Gate for the df64 semi-implicit path: the dd prepare + f32
     delta-CG with pair-precision iterative refinement + pair add-back
-    (`solvers.semi_implicit`).  The corrector loop re-solves with a
-    frozen U_base (needs pair-state deltas), the differentiable path
-    needs the adjoint XLA solves, gamma != 1 adds a state-scale b_U
-    term the refinement kernels do not carry (no shipped config uses
-    it), and anisotropy makes the phase system's s-map vary per cell
-    (the dd prepare/refinement assume the constant-s folded stencil) --
-    all fall back to the XLA f64 path."""
+    (`solvers.semi_implicit`); variable-s families (anisotropy,
+    corrector-guess) ride the per-cell s map the prepare emits.  The
+    corrector loop re-solves with a frozen U_base (needs pair-state
+    deltas), the differentiable path needs the adjoint XLA solves, and
+    gamma != 1 adds a state-scale b_U term the refinement kernels do not
+    carry (no shipped config uses it) -- those fall back to XLA f64."""
     return (wants_dd(p, topo) and not p.do_corrector_loop
-            and not p.do_corrector_guess  # s-map varies per cell
-            and not p.differentiable and p.gamma == 1.0 and p.S == 0.0)
+            and not p.differentiable and p.gamma == 1.0)
 
 
 def _g_theta_dd(gx, gy, grad_norm, p: SimParams):
@@ -333,12 +331,15 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
             return
 
         if scheme == "si":
+            from .pallas_rhs import si_s_varies
+
             bF = fix(extF, f_bc, d)
             bU = fix(extU, u_bc, d)
             dt_F, dt_U = rhs_at(bF, bU, d)
-            # r0_F = dt*(k1 lap_F + k0 - k2 (U - Tm)) = dt * dt_F exactly
-            # (allen_cahn.semi_implicit_prepare, plain variant); phys
-            # returns dt_U = lap_U + L*dt_F (+fu == 0 here), so lap_U is
+            # r0_F = dt * dt_F exactly, in BOTH prepare variants
+            # (`allen_cahn.semi_implicit_prepare`: the guess variant's
+            # dt/corr*(...) IS the guess-mode dt_F); phys returns
+            # dt_U = lap_U + L*dt_F (+fu == 0 here), so lap_U is
             # recovered by an exact df64 subtraction.  Both residuals are
             # emitted as PAIRS: the hi planes feed the f32 CG and the lo
             # planes feed the iterative-refinement residual
@@ -350,6 +351,29 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
             outs[1][:] = ut[0][8:8 + ty]
             outs[2][:] = r0[1][8:8 + ty]
             outs[3][:] = ut[1][8:8 + ty]
+            if si_s_varies(p):
+                # per-cell matvec coefficient s = gamma (/corr) * g * k1f
+                # (`semi_implicit_prepare`); f32 like the f32 path's map
+                # -- s only parameterizes the OPERATOR of the delta solve,
+                # so its f32 rounding perturbs A by ~ulp, orders below the
+                # solve tolerance (and the refinement residual uses the
+                # same map, so the solved system is self-consistent)
+                from .pallas_rhs import _g_theta_vpu
+
+                F_E, F_W = _shift_x_dd(bF, f_bc, d)
+                F_N = _roll(bF[0], -1, 0)
+                F_S = _roll(bF[0], 1, 0)
+                gxh = (F_E[0] - F_W[0]) * jnp.float32(1.0 / (2 * p.dx))
+                gyh = (F_N - F_S) * jnp.float32(1.0 / (2 * p.dy))
+                gn = jnp.sqrt(gxh * gxh + gyh * gyh)
+                g32 = _g_theta_vpu(gxh, gyh, gn, p)
+                k1f = jnp.float32(1.0 / p.alpha)
+                s32 = jnp.float32(p.gamma) * k1f * (
+                    g32 if g32 is not None else jnp.float32(1.0))
+                if p.do_corrector_guess:
+                    k2_32 = gn * jnp.float32(p.b * p.beta / p.alpha)
+                    s32 = s32 / (1 + k2_32 * jnp.float32(p.dt * p.L))
+                outs[4][:] = s32[8:8 + ty]
             return
 
         xF = fix(extF, f_bc, d)
@@ -447,10 +471,13 @@ def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
     grid = ny // ty
     ghost = ghosts is not None
     with_err = scheme == "rkm"
+    from .pallas_rhs import si_s_varies
+
+    n_out = 5 if (scheme == "si" and si_s_varies(p)) else 4
     # the spec view carries the LOCAL shape; physics constants keep the
     # global p (dx/dy derive from the global grid)
     pv = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
-    in_specs, out_specs = _specs(pv, ty, 2, with_err=with_err, n_out=4,
+    in_specs, out_specs = _specs(pv, ty, 2, with_err=with_err, n_out=n_out,
                                  n_scal=8 if ghost else 6, ghost=ghost)
     if ghost:
         # _specs appends 4 ghost-slab specs; the dd pair needs 4 more
@@ -460,7 +487,7 @@ def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
                                          memory_space=pltpu.VMEM))
     kernel = _make_fullstep_kernel_dd(p, scheme, T, ghost=ghost)
     shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
-    out_shape = [shape] * 4
+    out_shape = [shape] * n_out
     if with_err:
         err_shape = jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)
         out_shape += [err_shape, err_shape]
@@ -549,15 +576,18 @@ def rkm_attempt_dd_pair(pair, tau, p: SimParams, fu=0.0, dirichlet_value=0.0,
 def si_prepare_dd_pair(pair, p: SimParams, dirichlet_value=0.0,
                        interpret=False):
     """Delta-form semi-implicit prepare on a df64 pair state: returns
-    ((r0_F hi, lo), (uterm hi, lo)) f32 pairs (see the kernel docstring)."""
+    ((r0_F hi, lo), (uterm hi, lo)[, s]) -- f32 pairs plus the per-cell
+    matvec coefficient map when it varies (`si_s_varies`)."""
     Fh, Fl, Uh, Ul = pair
     o = _fullstep_call_dd(p, "si", interpret or FORCE_INTERPRET, 1,
                           Fh, Fl, Uh, Ul, _scal_row(dirichlet_value, 0.0, 0.0))
+    if len(o) > 4:
+        return (o[0], o[2]), (o[1], o[3]), o[4]
     return (o[0], o[2]), (o[1], o[3])
 
 
 def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
-                                Y: float, heat_L=None):
+                                Y: float, heat_L=None, aniso: bool = False):
     """r1 = r0 - A e in df64, A the constant cross operator
     (`ops.stencil.cross_matvec` semantics incl. its topo.pad ghosts with
     dirichlet_value=0: Neumann ghost=edge, Dirichlet ghost=-edge).
@@ -565,9 +595,16 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
     heat_L: when set, r0 is built in-kernel as L*(e1_F + e2_F) + uterm
     (the heat system's delta rhs, `solvers/semi_implicit`), with (e1_F,
     e2_F) supplied as two extra planes forming a pair.
+
+    aniso: A is the variable-coefficient operator
+    (1 + C*s) e + X*s (E+W) + Y*s (N+S) with a per-cell f32 map s
+    (`ops.stencil.anisotropy_matvec` semantics) supplied as one extra
+    plane; (C, X, Y) are then (Cm1, X, Y) of `AnisotropyMatrix`.
     """
     def kernel(*refs):
-        if heat_L is None:
+        if aniso:
+            ec, en, es, r0h, r0l, s_ref, out = refs
+        elif heat_L is None:
             ec, en, es, r0h, r0l, out = refs
         else:
             ec, en, es, r0h, r0l, f1, f2, out = refs
@@ -597,23 +634,37 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
         # A e in pair precision: e and its neighbors are exact f32, the
         # neighbor sums are TwoSum pairs, the coefficient products df64
         zero = jnp.zeros_like(ext)
-        Ae = dd.add(dd.add(dd.mul_const((ext, zero), C),
-                           dd.mul_const(dd.add((E, zero), (W, zero)), X)),
-                    dd.mul_const(dd.add((N, zero), (S, zero)), Y))
+        if aniso:
+            # (1 + Cm1 s) e + X s (E+W) + Y s (N+S)
+            #   = e + s * (Cm1 e + X (E+W) + Y (N+S))
+            cross = dd.add(dd.add(dd.mul_const((ext, zero), C),
+                                  dd.mul_const(dd.add((E, zero), (W, zero)),
+                                               X)),
+                           dd.mul_const(dd.add((N, zero), (S, zero)), Y))
+            sc = cross[0][8:8 + ty], cross[1][8:8 + ty]
+            Ae = dd.add((ext[8:8 + ty], zero[8:8 + ty]),
+                        dd.mul_f32(sc, s_ref[:]))
+        else:
+            full = dd.add(dd.add(dd.mul_const((ext, zero), C),
+                                 dd.mul_const(dd.add((E, zero), (W, zero)),
+                                              X)),
+                          dd.mul_const(dd.add((N, zero), (S, zero)), Y))
+            Ae = (full[0][8:8 + ty], full[1][8:8 + ty])
         r0 = (r0h[:], r0l[:])
         if heat_L is not None:
             # r0 := L * (e1_F + e2_F pair) + uterm pair
             r0 = dd.add(dd.mul_const((f1[:], f2[:]), heat_L), r0)
-        r1 = dd.sub(r0, (Ae[0][8:8 + ty], Ae[1][8:8 + ty]))
+        r1 = dd.sub(r0, Ae)
         out[:] = r1[0] + r1[1]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("bc", "C", "X", "Y", "heat_L",
-                                             "interpret", "ny", "nx"))
-def _cross_residual_call(bc, C, X, Y, heat_L, interpret, ny, nx, e, r0h, r0l,
-                         f1, f2):
+                                             "aniso", "interpret", "ny",
+                                             "nx"))
+def _cross_residual_call(bc, C, X, Y, heat_L, aniso, interpret, ny, nx, e,
+                         r0h, r0l, f1, f2):
     from .pallas_rhs import make_halo_row_maps
 
     ty = _tile_dd(ny, nx)
@@ -626,10 +677,13 @@ def _cross_residual_call(bc, C, X, Y, heat_L, interpret, ny, nx, e, r0h, r0l,
     cspec = pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM)
     in_specs = espec + [cspec, cspec]
     args = [e, e, e, r0h, r0l]
-    if heat_L is not None:
+    if aniso:
+        in_specs += [cspec]
+        args += [f1]  # the s map rides the f1 slot
+    elif heat_L is not None:
         in_specs += [cspec, cspec]
         args += [f1, f2]
-    kernel = _make_cross_residual_kernel(bc, C, X, Y, heat_L)
+    kernel = _make_cross_residual_kernel(bc, C, X, Y, heat_L, aniso)
     with jax.enable_x64(False), dd.eft_guards(interpret):
         return pl.pallas_call(
             kernel,
@@ -646,9 +700,19 @@ def cross_residual_dd(r0_pair, e, A, interpret=False):
     cross A); returns an f32 plane for the second CG solve."""
     ny, nx = e.shape
     return _cross_residual_call(A.boundary, float(A.C), float(A.X),
-                                float(A.Y), None,
+                                float(A.Y), None, False,
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, r0_pair[0], r0_pair[1], e, e)
+
+
+def aniso_residual_dd(r0_pair, e, A, s, interpret=False):
+    """Variable-coefficient refinement residual r1 = r0 - A(s) e
+    (`AnisotropyMatrix` semantics with a per-cell f32 map s)."""
+    ny, nx = e.shape
+    return _cross_residual_call(A.boundary, float(A.Cm1), float(A.X),
+                                float(A.Y), None, True,
+                                interpret or FORCE_INTERPRET, ny, nx,
+                                e, r0_pair[0], r0_pair[1], s, s)
 
 
 def heat_residual_dd(ut_pair, eF_pair, e, A, L, interpret=False):
@@ -656,7 +720,7 @@ def heat_residual_dd(ut_pair, eF_pair, e, A, L, interpret=False):
     e_F = eF_pair carried as (first solve, refinement) f32 planes."""
     ny, nx = e.shape
     return _cross_residual_call(A.boundary, float(A.C), float(A.X),
-                                float(A.Y), float(L),
+                                float(A.Y), float(L), False,
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, ut_pair[0], ut_pair[1],
                                 eF_pair[0], eF_pair[1])

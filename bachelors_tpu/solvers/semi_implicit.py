@@ -246,25 +246,39 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
     the delta form keeps meaningful at this scale -- and the correction
     is added back in pair arithmetic (TwoSum only, FMA-safe at XLA level).
     """
-    from ..ops.pallas_cg import cross_matvec_pAp
-    from ..ops.pallas_dd import (FORCE_INTERPRET, cross_residual_dd,
-                                 heat_residual_dd, pair_add_f32,
-                                 pair_to_state, si_prepare_dd_pair,
-                                 state_to_pair)
+    from ..ops.pallas_cg import aniso_matvec_pAp, cross_matvec_pAp
+    from ..ops.pallas_dd import (FORCE_INTERPRET, aniso_residual_dd,
+                                 cross_residual_dd, heat_residual_dd,
+                                 pair_add_f32, pair_to_state,
+                                 si_prepare_dd_pair, state_to_pair)
 
     pair = state_to_pair(F, U)
-    r0F_pair, ut_pair = si_prepare_dd_pair(pair, p)
+    prep = si_prepare_dd_pair(pair, p)
+    s_map = prep[2] if len(prep) > 2 else None
+    r0F_pair, ut_pair = prep[0], prep[1]
 
-    s = p.gamma / p.alpha  # g == 1: isotropic, no corrector guess
     A_F = AnisotropyMatrix.implicit_phase(p)
     A_U = CrossMatrix.implicit_heat(p)
-    A_Fc = CrossMatrix(C=1 + A_F.Cm1 * s, X=A_F.X * s, Y=A_F.Y * s,
-                       boundary=p.Phi_boundary)
     # the f32 fused CG kernels serve the f64 path unchanged (they only see
     # f32 delta arrays); CPU interpret tests take the XLA matvec instead
     use_pallas_cg = not FORCE_INTERPRET
-    mv_F = ((lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out))
-            if use_pallas_cg else None)
+    if s_map is None:
+        s = p.gamma / p.alpha  # constant: isotropic, no corrector guess
+        A_Fc = CrossMatrix(C=1 + A_F.Cm1 * s, X=A_F.X * s, Y=A_F.Y * s,
+                           boundary=p.Phi_boundary)
+        mv_F = ((lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out))
+                if use_pallas_cg else None)
+        refine_F = lambda e1: cross_residual_dd(r0F_pair, e1, A_Fc)
+    else:
+        # variable s (anisotropy / corrector-guess): the prepare's f32
+        # map parameterizes both the CG matvec and the refinement
+        # residual, so the solved system is self-consistent.  Plain CG
+        # (no Jacobi): measured on the f32 path, preconditioning costs
+        # more than it saves with the fused aniso matvec (_wants_jacobi).
+        s = s_map
+        mv_F = ((lambda v, out=None: aniso_matvec_pAp(A_F, s_map, v, out=out))
+                if use_pallas_cg else None)
+        refine_F = lambda e1: aniso_residual_dd(r0F_pair, e1, A_F, s_map)
     mv_U = ((lambda v, out=None: cross_matvec_pAp(A_U, v, out=out))
             if use_pallas_cg else None)
     mvx_F = lambda v: anisotropy_matvec(A_F, s, v, topo)
@@ -291,7 +305,7 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
         next_F, next_U = pair_to_state(pair_add_f32(pair, e_F, e_U))
         return next_F, next_U, res_F, res_U
 
-    r1_F = cross_residual_dd(r0F_pair, e1_F, A_Fc)
+    r1_F = refine_F(e1_F)
     e2_F, res_F2 = solve(mvx_F, mv_F, r1_F,
                          p.Phi_tolerance, p.Phi_max_iters)
 

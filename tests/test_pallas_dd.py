@@ -455,3 +455,30 @@ class TestSemiImplicitDD:
         scale = float(jnp.max(jnp.abs(want)))
         assert float(jnp.max(jnp.abs(got.astype(jnp.float64) - want))) \
             < 1e-7 * scale
+
+    @pytest.mark.parametrize("kw", [
+        dict(S=0.25, m0=6.0, f32_transcendentals=True),   # anisotropic
+        dict(do_corrector_guess=True, f32_transcendentals=True),
+    ])
+    def test_step_variable_s(self, kw):
+        """Variable-s families (anisotropy / corrector-guess): the dd
+        prepare emits the per-cell s map; CG + refinement use it
+        self-consistently and track the f64 XLA step at delta-f32 level."""
+        from bachelors_tpu.solvers.semi_implicit import semi_implicit_step_based
+        from bachelors_tpu.ops.pallas_dd import wants_dd_si
+
+        p_dd = self.make_si_p(backend="pallas", **kw)
+        p_or = p_dd.replace(backend="xla")
+        F, U = fields(p_or, seed=59)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            assert wants_dd_si(p_dd, TOPO)
+            nF, nU, rF, rU = semi_implicit_step_based(F, U, U, p_dd, TOPO)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        wF, wU, wrF, wrU = semi_implicit_step_based(F, U, U, p_or, TOPO)
+        dF_scale = float(jnp.max(jnp.abs(wF - F))) + 1e-30
+        dU_scale = float(jnp.max(jnp.abs(wU - U))) + 1e-30
+        assert float(jnp.max(jnp.abs(nF - wF))) < 1e-6 * dF_scale + 1e-12
+        assert float(jnp.max(jnp.abs(nU - wU))) < 1e-6 * dU_scale + 1e-12
+        assert bool(rF.converged) and bool(rU.converged)
