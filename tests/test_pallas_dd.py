@@ -208,9 +208,13 @@ class TestRKMDD:
         assert relerr(nU, wU) < 1e-12
         # THE df64 claim: the catastrophically-cancelling Merson error
         # combination agrees with true f64 far below the f32 noise floor
-        # (~6e-8 * max|k|, RESULTS.md) -- here to ~2^-45 * max|k|.
+        # (~6e-8 * max|k|, RESULTS.md).  The kernel REPORTS the maxima as
+        # f32 scalars (the controller compares them against tolerances
+        # orders above ulp), so the bound is the f32 REPRESENTATION of
+        # the f64 value (ulp(want)/2) plus the ~2^-45 * max|k| evaluation
+        # term -- measured: got == float32(want) bit-exactly.
         for got, want in ((float(eF), weF), (float(eU), weU)):
-            assert abs(got - want) <= 3e-13 * maxk + 1e-13 * want
+            assert abs(got - want) <= 6e-8 * want + 3e-13 * maxk
 
 
 class TestSolverPlumbingDD:
