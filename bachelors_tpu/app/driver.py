@@ -236,7 +236,11 @@ def run_simulation(cfg: SimConfig, topo: Topology = Topology(),
         # [tpu] dtype = float64 needs x64 semantics or jnp silently
         # downcasts every array to f32 (the per-process global matches the
         # reference's compile-time Real=double, `simulation.h:20-25`);
-        # the test suite enables it in conftest, the CLI path lands here
+        # the test suite enables it in conftest, the CLI path lands here.
+        # Deliberately NOT restored afterwards: the flag is process-global
+        # and un-setting it mid-process would invalidate live f64 arrays;
+        # later f32 configs in the same process run correctly under x64
+        # (f32 arrays stay f32), they merely trace time/iter as f64/i64
         jax.config.update("jax_enable_x64", True)
         log.info("enabled jax x64 mode for the float64 run")
 

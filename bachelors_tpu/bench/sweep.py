@@ -159,6 +159,52 @@ def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
     return paths
 
 
+def _stall_probe() -> None:
+    """The documented tunnel-degradation diagnostic (CLAUDE.md): the FIRST
+    device->host transfer of a process can stall 3-10 min while every
+    later fetch is instant.  Absorb that stall here -- before any timed
+    row -- and log how long it took, so a degraded tunnel yields a
+    "degraded, waited Xs" note instead of garbage timings."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    t0 = _time.perf_counter()
+    try:
+        float(jnp.float32(2.5))
+    except Exception as e:  # noqa: BLE001 - init failure surfaces per-row
+        log.error(f"device probe failed ({str(e)[:160]}); ladder rows will "
+                  "record per-row errors")
+        return
+    waited = _time.perf_counter() - t0
+    if waited > 30:
+        log.warn(f"tunnel degraded: first fetch took {waited:.0f}s; "
+                 "proceeding (only the first fetch of a process stalls)")
+
+
+def _run_row_with_retry(run_config_file, path: str, repeat: int,
+                        retries: int = 1, backoff_s: float = 60.0):
+    """Run one ladder row; on a transient device failure (UNAVAILABLE /
+    backend connection drop) retry after a backoff instead of immediately
+    recording a dead row -- the r3 artifact lost 1 row to exactly this."""
+    import time as _time
+
+    for attempt in range(retries + 1):
+        try:
+            return [run_config_file(path, make_folder=False)
+                    for _ in range(repeat)]
+        except Exception as e:  # noqa: BLE001 - transient check below
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in (
+                "UNAVAILABLE", "DEADLINE_EXCEEDED", "connection dropped",
+                "backend setup"))
+            if not transient or attempt == retries:
+                raise
+            log.warn(f"transient device failure on {os.path.basename(path)} "
+                     f"({str(e)[:120]}); retrying in {backoff_s:.0f}s")
+            _time.sleep(backoff_s)
+
+
 def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
               scales: Sequence[float] = SCALES,
               report_path: Optional[str] = None,
@@ -187,6 +233,7 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
     from ..io.config import load_config
 
     _default_compile_cache()
+    _stall_probe()
 
     if warmup:
         # absorb the one-time backend/device initialization outside the
@@ -240,8 +287,8 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
                                  backend=backend)
             p = load_config(path).params
             try:
-                runs = [run_config_file(path, make_folder=False)
-                        for _ in range(max(repeat, 1))]
+                runs = _run_row_with_retry(run_config_file, path,
+                                           max(repeat, 1))
             except Exception as e:  # noqa: BLE001 - reference skip-on-error
                 # record the failure and keep the ladder going (a device
                 # fault on one cell must not void the whole artifact)

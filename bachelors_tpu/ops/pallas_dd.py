@@ -55,7 +55,10 @@ FORCE_INTERPRET = False
 
 def _tile_dd(ny: int, nx: int) -> int:
     if TILE_OVERRIDE:
-        return TILE_OVERRIDE if ny % TILE_OVERRIDE == 0 else 0
+        if ny % TILE_OVERRIDE != 0:
+            raise ValueError(f"TILE_OVERRIDE={TILE_OVERRIDE} does not divide "
+                             f"ny={ny} (test hook misuse)")
+        return TILE_OVERRIDE
     # the rkm stage chain holds ~5 live df64 field pairs = 20 f32 planes
     # on (ty+16)-row extended blocks
     return min(_tile_y(ny, nx, 12, 4, budget=_EULER2_BUDGET), 256)
@@ -241,6 +244,12 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
     (+ errF, errU)] (si: [r0h, uth, r0l, utl]).
     """
     assert scheme in ("euler", "rk4", "rkm", "si")
+    if not 1 <= T <= 8:
+        # the 8-row halo groups feed exactly 8 valid stencil applications;
+        # deeper temporal blocking would silently corrupt interior tile
+        # seams rather than error
+        raise ValueError(f"euler temporal-blocking depth T={T} outside the "
+                         "halo budget 1..8")
     f_bc, u_bc = p.Phi_boundary, p.T_boundary
     phys = _make_physics_dd(p)
 

@@ -12,7 +12,9 @@ overhead of the tunnel, mirroring the reference's percentile-trimmed
 median harness intent (`simulation.cu:1193-1267`).
 """
 import json
+import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
@@ -25,6 +27,75 @@ from bachelors_tpu.solvers.run import advance_n
 
 BASELINE_RK4_CELLS_PER_S = 1.79e9  # A100, 2048^2, f64
 BASELINE_EULER_STEP_MS = 0.44      # A100 Euler step time at 2048^2
+
+# tunnel resilience (CLAUDE.md "tunnel degradation mode"): the axon TPU
+# backend sometimes (a) fails init with UNAVAILABLE, or (b) stalls the
+# FIRST device->host transfer of a process 3-10 min.  Before any timed
+# section we run exactly the documented stall diagnostic with a bounded
+# wait, and on transient failure we re-exec a fresh process (backend init
+# state is per-process) with backoff instead of dying rc=1.
+MAX_ATTEMPTS = 3
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "900"))
+_BACKOFF_S = (30, 120)  # sleep before attempt 1, 2
+
+
+def _probe_first_fetch(timeout_s: float):
+    """Run the one-liner stall diagnostic (`float(jnp.float32(2.5))`) in a
+    side thread with a bounded wait.  Returns (ok, waited_seconds).  A
+    degraded tunnel makes only the first fetch slow; once this returns,
+    subsequent fetches are fast and timing is trustworthy."""
+    result: dict = {}
+
+    def probe():
+        try:
+            result["value"] = float(jnp.float32(2.5))
+        except Exception as e:  # noqa: BLE001 - reported to the caller
+            result["error"] = e
+
+    t0 = time.perf_counter()
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    waited = time.perf_counter() - t0
+    if th.is_alive():
+        return False, waited
+    if "error" in result:
+        raise result["error"]
+    return True, waited
+
+
+def _transient(e: BaseException) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(s in msg for s in ("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                                  "backend setup", "connection dropped",
+                                  "first-fetch stall"))
+
+
+def _retry_or_report(e: BaseException, extra: dict):
+    """Re-exec a fresh process with backoff on transient device failures;
+    after MAX_ATTEMPTS, emit a well-formed degraded-note JSON line (rc 0)
+    so the round artifact records WHAT failed instead of dying rc=1."""
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    if _transient(e) and attempt + 1 < MAX_ATTEMPTS:
+        wait = _BACKOFF_S[min(attempt, len(_BACKOFF_S) - 1)]
+        print(f"bench: transient device failure (attempt {attempt + 1}/"
+              f"{MAX_ATTEMPTS}): {str(e)[:200]}; retrying in {wait}s",
+              file=sys.stderr, flush=True)
+        time.sleep(wait)
+        env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
+    out = {
+        "metric": "cell-updates/sec/chip, 2048^2 explicit-RK4 (f32)",
+        "value": 0.0,
+        "unit": "cells/s",
+        "vs_baseline": 0.0,
+        "error": f"device unavailable after {attempt + 1} attempts: "
+                 f"{str(e)[:300]}",
+    }
+    out.update(extra)
+    print(json.dumps(out))
+    raise SystemExit(0)
 
 
 def sync(x):
@@ -61,7 +132,28 @@ def main():
     except Exception:
         pass
 
-    on_tpu = jax.default_backend() == "tpu"
+    probe_note = {}
+    try:
+        ok, waited = _probe_first_fetch(PROBE_TIMEOUT_S)
+        if not ok:
+            raise RuntimeError(
+                f"first-fetch stall: the initial device->host transfer did "
+                f"not complete within {PROBE_TIMEOUT_S:.0f}s (tunnel "
+                f"degradation mode, CLAUDE.md)")
+        if waited > 30:
+            # degraded-but-recovered: note it; timing below is trustworthy
+            # (only the first fetch of a process stalls)
+            probe_note["degraded_first_fetch_s"] = round(waited, 1)
+            print(f"bench: tunnel degraded, first fetch took {waited:.0f}s; "
+                  "proceeding (subsequent fetches are unaffected)",
+                  file=sys.stderr, flush=True)
+        on_tpu = jax.default_backend() == "tpu"
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 - includes jax fatal errors
+        _retry_or_report(e, {})
+        return
+
     n = 2048 if on_tpu else 256
     k_big, k_small = (2000, 16) if on_tpu else (50, 4)
 
@@ -72,7 +164,13 @@ def main():
     p = bt.SimParams(nx=n, ny=n, L0=4.0 * n / 512,
                      solver=bt.SolverType.EXPLICIT_RK4,
                      dt=5e-6, S=0.0, dtype="float32")
-    sec_per_step = time_steps(p, k_big, k_small)
+    try:
+        sec_per_step = time_steps(p, k_big, k_small)
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 - includes jax fatal errors
+        _retry_or_report(e, probe_note)
+        return
     cells_per_s = n * n / sec_per_step
 
     out = {
@@ -85,6 +183,7 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    out.update(probe_note)
 
     # secondary solvers, best-effort (A100 reference at 2048^2: Euler
     # 0.44 ms, RKM 3.77 ms, S-I 4.26 ms)

@@ -421,3 +421,32 @@ def test_reference_plot_py_reads_our_stats_csv(tmp_path):
     assert len(st.time) > 0
     assert len(st.Phi_delta_L2) == len(st.time)
     assert np.all(np.isfinite(np.asarray(st.time, np.float64)))
+
+
+@pytest.mark.slow  # cold-compiles the aniso RKM stepper (~8 min on XLA:CPU)
+def test_shipped_config_ini_runs(tmp_path, monkeypatch):
+    """The repo-root `config.ini` quick start must be executable as
+    written (a production dendrite config, the role of the reference's
+    shipped `/root/reference/config.ini`)."""
+    import bachelors_tpu
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.abspath(bachelors_tpu.__file__)))
+    cfg_path = os.path.join(repo, "config.ini")
+    assert os.path.exists(cfg_path), "repo must ship a runnable config.ini"
+    monkeypatch.chdir(tmp_path)
+    res = run_config_file(cfg_path, overrides=[
+        # tiny smoke sizing; every other key runs as shipped
+        "simulation.stop_after=0.0001",
+        "simulation.mesh_size_x=64",
+        "simulation.mesh_size_y=64",
+        "snapshot.times=2",
+    ])
+    assert res is not None and res.iters > 0
+    assert res.snapshots >= 2
+    files = sorted(os.listdir(res.save_folder))
+    assert "config.ini" in files and "stats.csv" in files
+    # the shipped config is the anisotropic dendrite experiment
+    cfg = load_config(cfg_path)
+    assert cfg.params.S == 0.25 and cfg.params.m0 == 6.0
+    assert cfg.params.solver.value == "explicit-rk4-adaptive"

@@ -158,6 +158,18 @@ class TestReport:
                         tolerance=1e-5)}}
         text = "\n".join(ladder_table(rep, "## t"))
         assert "mix step count and step cost" in text
+        # the runtime-ratio caveat must live IN the cell, not only in the
+        # footnote
+        assert "runtime; fewer steps*" in text
+
+    def test_ladder_table_tolerates_metadata_keys(self):
+        from bachelors_tpu.bench.report import ladder_table
+
+        rep = {"_note": "tunnel died mid-ladder",
+               "explicit": {"512": dict(runtime_s=0.7, iters=8000,
+                                        dtype="float64", tolerance=5e-9)}}
+        text = "\n".join(ladder_table(rep, "## t"))
+        assert "0.70" in text and "tunnel died" not in text
 
 
 class TestNoisyInitialConditions:

@@ -104,3 +104,39 @@ def test_mixed_boundary_conditions(f_bc, u_bc, rng):
     wF, wU = rhs_oracle(F, U, p, fu=0.05, f32_transcendentals=False)
     np.testing.assert_allclose(np.asarray(dF), wF, rtol=1e-12, atol=1e-9)
     np.testing.assert_allclose(np.asarray(dU), wU, rtol=1e-12, atol=1e-9)
+
+
+@pytest.mark.parametrize("solver", ["explicit", "explicit-rk4",
+                                    "explicit-rk4-adaptive", "semi-implicit"])
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize("mesh", [128, 256])
+def test_backend_xla_traces_no_pallas(solver, dtype, mesh, monkeypatch):
+    """`backend = xla` must pin EVERY kernel to the XLA path, even on a
+    real TPU: the full stepper's jaxpr may contain no pallas_call.
+
+    Regression for sweep_r3_f64_xla.json's 128^2/256^2 rows, which recorded
+    Mosaic `tpu.dynamic_rotate ... i64` errors inside xla-pinned f64 runs
+    (stale rows from before the x64 roll-shift fixes -- this test makes the
+    gate contract enforceable without hardware by forcing the on-TPU
+    branch of every backend gate)."""
+    import jax
+
+    from bachelors_tpu.core.params import SimParams
+    from bachelors_tpu.core.state import make_state
+    from bachelors_tpu.ops import rhs as rhs_mod
+    from bachelors_tpu.solvers.base import make_stepper
+    from bachelors_tpu.solvers.explicit import make_euler_pair_stepper
+
+    from bachelors_tpu.core.params import SolverType
+
+    monkeypatch.setattr(rhs_mod, "_on_tpu_or_forced", lambda p: True)
+    p = SimParams(solver=SolverType(solver), ny=mesh, nx=mesh, dtype=dtype,
+                  backend="xla")
+    topo = Topology()
+    state = make_state(np.zeros((mesh, mesh)), np.zeros((mesh, mesh)), p)
+    step = make_stepper(p, topo)
+    jaxpr = str(jax.make_jaxpr(lambda s: step(s)[0])(state).jaxpr)
+    assert "pallas_call" not in jaxpr
+    pair = make_euler_pair_stepper(p, topo)
+    if pair is not None:
+        assert "pallas_call" not in str(jax.make_jaxpr(pair)(state).jaxpr)
