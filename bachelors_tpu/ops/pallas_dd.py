@@ -24,11 +24,15 @@ mixed-precision refinement residual kernels (`solvers/semi_implicit`);
 isotropic AND integer-m0 anisotropic physics (g(theta) via the
 angle-addition recurrence -- in f32 under the reference's cosf
 semantics, in full pair precision in strict mode); the corrector-guess
-RHS (df64 Karp-Markstein division); y-sharded meshes via (hi, lo)
-ghost slabs.  Fallbacks to the XLA f64 path: x-sharded/2D meshes and
-the semi-implicit variants whose s-map varies per cell.  Reference
-parity: the solvers dispatched here implement `simulation.cu:283-926`
-at Real=double.
+RHS (df64 Karp-Markstein division); the corrector loop and gamma != 1
+(extra heat-rhs pair through `heat_residual_dd` + the exact Euler pair
+rebase in `solvers.explicit.euler_step_based`); y-sharded meshes via
+(hi, lo) ghost slabs for every solver family incl. the semi-implicit
+prepare + ghost-row residual kernels.  Fallbacks to the XLA f64 path:
+x-sharded/2D
+meshes (config-time warning, `io/config.py`) and the differentiable
+path.  Reference parity: the solvers dispatched here implement
+`simulation.cu:283-1008` at Real=double.
 """
 from __future__ import annotations
 
@@ -90,17 +94,25 @@ def wants_dd(p: SimParams, topo) -> bool:
             and supports_dd(p) and _on_tpu_or_forced(p))
 
 
-def wants_dd_si(p: SimParams, topo) -> bool:
+def wants_dd_si(p: SimParams, topo, ny_local: int = 0,
+                nx_local: int = 0) -> bool:
     """Gate for the df64 semi-implicit path: the dd prepare + f32
     delta-CG with pair-precision iterative refinement + pair add-back
     (`solvers.semi_implicit`); variable-s families (anisotropy,
-    corrector-guess) ride the per-cell s map the prepare emits.  The
-    corrector loop re-solves with a frozen U_base (needs pair-state
-    deltas), the differentiable path needs the adjoint XLA solves, and
-    gamma != 1 adds a state-scale b_U term the refinement kernels do not
-    carry (no shipped config uses it) -- those fall back to XLA f64."""
-    return (wants_dd(p, topo) and not p.do_corrector_loop
-            and not p.differentiable and p.gamma == 1.0)
+    corrector-guess) ride the per-cell s map the prepare emits; the
+    corrector loop (`simulation.cu:928-1008`) and gamma != 1
+    (`simulation.cu:893-899`) ride the extra heat-rhs pair
+    (U_base - U) + dt*(1-gamma)*U_base, assembled exactly in XLA f64 and
+    threaded through `heat_residual_dd`.  On y-sharded meshes the prepare
+    rides the ghost-slab machinery and the residual kernels exchange
+    ghost rows of e (`*_dd_sharded` twins; pass the local shard shape).
+    Only the differentiable path (adjoint XLA solves) falls back to
+    XLA f64."""
+    if p.differentiable:
+        return False
+    if wants_dd(p, topo):
+        return True
+    return ny_local > 0 and wants_dd_sharded(p, topo, ny_local, nx_local)
 
 
 def _g_theta_dd(gx, gy, grad_norm, p: SimParams):
@@ -145,32 +157,52 @@ def _make_physics_dd(p: SimParams):
     k0_factor = p.a / (p.xi * p.xi * p.alpha)
     k2_factor = p.b * p.beta / p.alpha
     k1_factor = 1.0 / p.alpha
+    # square cells (every shipped/benchmark config): the 5-point stencil
+    # collapses to ONE raw neighbor sum times one constant, and lap_F's
+    # constant additionally absorbs k1_factor = 1/alpha (g(theta)
+    # multiplies AFTER, so the fold holds for S != 0 too) -- ~50 VPU
+    # flops/cell-step saved per field vs the per-axis form (the Euler dd
+    # kernel is VPU-roofline-bound, RESULTS.md)
+    square = dx == dy
+
+    def lap(C, N, S, E, W, scale: float):
+        if square:
+            raw = dd.add(dd.add(dd.add(W, E), dd.add(S, N)),
+                         dd.mul_pow2(C, -4.0))
+            return dd.mul_const(raw, inv_dx2 * scale)
+        lxy = dd.add(
+            dd.mul_const(dd.add(dd.add(W, E), dd.mul_pow2(C, -2.0)),
+                         inv_dx2),
+            dd.mul_const(dd.add(dd.add(S, N), dd.mul_pow2(C, -2.0)),
+                         inv_dy2))
+        return dd.mul_const(lxy, scale) if scale != 1.0 else lxy
 
     def phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu):
-        lap_F = dd.add(
-            dd.mul_const(dd.add(dd.add(F_W, F_E), dd.mul_pow2(Fc, -2.0)),
-                         inv_dx2),
-            dd.mul_const(dd.add(dd.add(F_S, F_N), dd.mul_pow2(Fc, -2.0)),
-                         inv_dy2))
-        lap_U = dd.add(
-            dd.mul_const(dd.add(dd.add(U_W, U_E), dd.mul_pow2(Uc, -2.0)),
-                         inv_dx2),
-            dd.mul_const(dd.add(dd.add(U_S, U_N), dd.mul_pow2(Uc, -2.0)),
-                         inv_dy2))
+        # k1_lap = lap(F)/alpha with the 1/alpha folded into the stencil
+        # constant on square cells; lap_U stays unscaled (dt_U needs it)
+        k1_lap = lap(Fc, F_N, F_S, F_E, F_W, k1_factor if square else 1.0)
+        lap_U = lap(Uc, U_N, U_S, U_E, U_W, 1.0)
         gx = dd.mul_const(dd.sub(F_E, F_W), inv_2dx)
         gy = dd.mul_const(dd.sub(F_N, F_S), inv_2dy)
         if p.f32_transcendentals:
             # reference semantics: |grad| in f32 even at Real=double
-            # (`simulation.cu:14-17`; `models/allen_cahn.anisotropy_factor`)
+            # (`simulation.cu:14-17`; `models/allen_cahn.anisotropy_factor`).
+            # k2_factor folds into the f32 norm (one more f32 rounding on a
+            # value already rounded to f32 -- within the same semantics)
             r2 = gx[0] * gx[0] + gy[0] * gy[0]
             grad_norm = (jnp.sqrt(r2), jnp.zeros_like(r2))
+            k2_32 = grad_norm[0] * jnp.float32(k2_factor)
+            k2 = (k2_32, grad_norm[1])
+            k2_mul = lambda x: dd.mul_f32(x, k2_32)  # lo(k2) == 0 exactly
         else:
             grad_norm = dd.sqrt0(dd.add(dd.sqr(gx), dd.sqr(gy)))
-        k2 = dd.mul_const(grad_norm, k2_factor)
+            k2 = dd.mul_const(grad_norm, k2_factor)
+            k2_mul = lambda x: dd.mul(x, k2)
         k0 = dd.mul_const(
             dd.mul(dd.mul(Fc, dd.add_f32(dd.neg(Fc), 1.0)),
                    dd.cadd(Fc, -0.5)), k0_factor)
-        k1_lap = dd.mul_const(lap_F, k1_factor)
+        if not square:
+            k1_lap = dd.mul_const(k1_lap, k1_factor)
         if p.S != 0.0:
             if p.f32_transcendentals:
                 from .pallas_rhs import _g_theta_vpu
@@ -186,12 +218,12 @@ def _make_physics_dd(p: SimParams):
             # implicit-in-U guess (`simulation.cu:216-226`):
             #   dt_F = (k1 lap + k0 - k2 (U - Tm + dt lap_U)) / (1 + k2 dt L)
             num = dd.sub(dd.add(k1_lap, k0),
-                         dd.mul(k2, dd.add(dd.cadd(Uc, -p.Tm),
-                                           dd.mul_const(lap_U, p.dt))))
+                         k2_mul(dd.add(dd.cadd(Uc, -p.Tm),
+                                       dd.mul_const(lap_U, p.dt))))
             corr = dd.add_f32(dd.mul_const(k2, p.dt * p.L), 1.0)
             dt_F = dd.div(num, corr)
         else:
-            dt_F = dd.sub(dd.add(k1_lap, k0), dd.mul(k2, dd.cadd(Uc, -p.Tm)))
+            dt_F = dd.sub(dd.add(k1_lap, k0), k2_mul(dd.cadd(Uc, -p.Tm)))
         dt_U = dd.add(dd.add(lap_U, dd.mul_const(dt_F, p.L)), fu)
         return dt_F, dt_U
 
@@ -596,7 +628,9 @@ def si_prepare_dd_pair(pair, p: SimParams, dirichlet_value=0.0,
 
 
 def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
-                                Y: float, heat_L=None, aniso: bool = False):
+                                Y: float, heat_L=None, aniso: bool = False,
+                                has_extra: bool = False,
+                                ghost: bool = False):
     """r1 = r0 - A e in df64, A the constant cross operator
     (`ops.stencil.cross_matvec` semantics incl. its topo.pad ghosts with
     dirichlet_value=0: Neumann ghost=edge, Dirichlet ghost=-edge).
@@ -605,22 +639,51 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
     (the heat system's delta rhs, `solvers/semi_implicit`), with (e1_F,
     e2_F) supplied as two extra planes forming a pair.
 
+    has_extra (heat mode only): two more planes forming an additional
+    rhs pair added to r0 -- the corrector/gamma terms
+    (U_base - U) + dt*(1-gamma)*U_base (`simulation.cu:893-899,928-1008`).
+
     aniso: A is the variable-coefficient operator
     (1 + C*s) e + X*s (E+W) + Y*s (N+S) with a per-cell f32 map s
     (`ops.stencil.anisotropy_matvec` semantics) supplied as one extra
     plane; (C, X, Y) are then (Cm1, X, Y) of `AnisotropyMatrix`.
+
+    ghost (y-sharded meshes): two (8, nx) slabs from
+    `pallas_rhs._ghost_rows` (row 0 = the neighbor shard's edge row of e,
+    with the global-edge BC image already applied outside) replace the
+    same-shard halo rows the stencil reads at shard-edge programs; the
+    in-kernel row BC is skipped entirely.
     """
     def kernel(*refs):
+        x1 = x2 = None
+        rest = list(refs[5:-1])
+        ec, en, es, r0h, r0l = refs[:5]
+        out = refs[-1]
+        s_ref = f1 = f2 = None
         if aniso:
-            ec, en, es, r0h, r0l, s_ref, out = refs
-        elif heat_L is None:
-            ec, en, es, r0h, r0l, out = refs
-        else:
-            ec, en, es, r0h, r0l, f1, f2, out = refs
+            s_ref = rest.pop(0)
+        elif heat_L is not None:
+            f1, f2 = rest.pop(0), rest.pop(0)
+            if has_extra:
+                x1, x2 = rest.pop(0), rest.pop(0)
+        if ghost:
+            g_lo, g_hi = rest
         ext = jnp.concatenate([es[:], ec[:], en[:]], axis=0)
         tye = ext.shape[0]
         ty = out.shape[0]
-        if bc != BoundaryType.PERIODIC:
+        if ghost:
+            # the 1-point stencil reads only ext[7] (S of the first center
+            # row) and ext[tye-8] (N of the last); patch those from the
+            # ppermuted neighbor rows at shard-edge programs -- interior
+            # programs keep their (correct) same-shard halo rows
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+            ext = jnp.where(jnp.logical_and(rows == 7, i == 0),
+                            g_lo[0:1], ext)
+            ext = jnp.where(jnp.logical_and(rows == tye - 8, i == n - 1),
+                            g_hi[0:1], ext)
+        elif bc != BoundaryType.PERIODIC:
             i = pl.program_id(0)
             n = pl.num_programs(0)
             rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
@@ -663,6 +726,10 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
         if heat_L is not None:
             # r0 := L * (e1_F + e2_F pair) + uterm pair
             r0 = dd.add(dd.mul_const((f1[:], f2[:]), heat_L), r0)
+            if x1 is not None:
+                # corrector / gamma != 1 rhs terms, pre-assembled by the
+                # caller as an f32 pair
+                r0 = dd.add(r0, (x1[:], x2[:]))
         r1 = dd.sub(r0, Ae)
         out[:] = r1[0] + r1[1]
 
@@ -673,7 +740,8 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
                                              "aniso", "interpret", "ny",
                                              "nx"))
 def _cross_residual_call(bc, C, X, Y, heat_L, aniso, interpret, ny, nx, e,
-                         r0h, r0l, f1, f2):
+                         r0h, r0l, f1, f2, x1=None, x2=None,
+                         g_lo=None, g_hi=None):
     from .pallas_rhs import make_halo_row_maps
 
     ty = _tile_dd(ny, nx)
@@ -686,13 +754,24 @@ def _cross_residual_call(bc, C, X, Y, heat_L, aniso, interpret, ny, nx, e,
     cspec = pl.BlockSpec((ty, nx), center, memory_space=pltpu.VMEM)
     in_specs = espec + [cspec, cspec]
     args = [e, e, e, r0h, r0l]
+    has_extra = x1 is not None
+    ghost = g_lo is not None
     if aniso:
         in_specs += [cspec]
         args += [f1]  # the s map rides the f1 slot
     elif heat_L is not None:
         in_specs += [cspec, cspec]
         args += [f1, f2]
-    kernel = _make_cross_residual_kernel(bc, C, X, Y, heat_L, aniso)
+        if has_extra:
+            in_specs += [cspec, cspec]
+            args += [x1, x2]
+    if ghost:
+        gspec = pl.BlockSpec((8, nx), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs += [gspec, gspec]
+        args += [g_lo, g_hi]
+    kernel = _make_cross_residual_kernel(bc, C, X, Y, heat_L, aniso,
+                                         has_extra=has_extra, ghost=ghost)
     with jax.enable_x64(False), dd.eft_guards(interpret):
         return pl.pallas_call(
             kernel,
@@ -724,15 +803,67 @@ def aniso_residual_dd(r0_pair, e, A, s, interpret=False):
                                 e, r0_pair[0], r0_pair[1], s, s)
 
 
-def heat_residual_dd(ut_pair, eF_pair, e, A, L, interpret=False):
-    """Heat-system refinement residual r1 = (L*e_F + uterm) - A e, with
-    e_F = eF_pair carried as (first solve, refinement) f32 planes."""
+def heat_residual_dd(ut_pair, eF_pair, e, A, L, extra_pair=None,
+                     interpret=False):
+    """Heat-system refinement residual r1 = (L*e_F + uterm [+ extra]) - A e,
+    with e_F = eF_pair carried as (first solve, refinement) f32 planes and
+    ``extra_pair`` the optional corrector/gamma rhs terms
+    (U_base - U) + dt*(1-gamma)*U_base as an f32 pair
+    (`simulation.cu:893-899`)."""
     ny, nx = e.shape
+    x1, x2 = extra_pair if extra_pair is not None else (None, None)
     return _cross_residual_call(A.boundary, float(A.C), float(A.X),
                                 float(A.Y), float(L), False,
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, ut_pair[0], ut_pair[1],
-                                eF_pair[0], eF_pair[1])
+                                eF_pair[0], eF_pair[1], x1, x2)
+
+
+def _ghost_rows_e(e, bc: BoundaryType, axis_y: str):
+    """Ghost rows of a single f32 plane for the sharded residual kernels
+    (the matvec convention: `topo.pad` ghosts with dirichlet_value=0)."""
+    from .pallas_rhs import _ghost_rows
+
+    return _ghost_rows([(e, e)], [1.0], bc, 0, axis_y, 0.0)
+
+
+def cross_residual_dd_sharded(r0_pair, e, A, axis_y, interpret=False):
+    """Sharded twin of `cross_residual_dd`: e's shard-edge halo rows
+    arrive over ICI (one ppermute pair), global edges keep the BC image."""
+    ny, nx = e.shape
+    g_lo, g_hi = _ghost_rows_e(e, A.boundary, axis_y)
+    return _cross_residual_call(A.boundary, float(A.C), float(A.X),
+                                float(A.Y), None, False,
+                                interpret or FORCE_INTERPRET, ny, nx,
+                                e, r0_pair[0], r0_pair[1], e, e,
+                                g_lo=g_lo, g_hi=g_hi)
+
+
+def aniso_residual_dd_sharded(r0_pair, e, A, s, axis_y, interpret=False):
+    """Sharded twin of `aniso_residual_dd` (per-cell s map is pointwise,
+    so only e needs the halo exchange)."""
+    ny, nx = e.shape
+    g_lo, g_hi = _ghost_rows_e(e, A.boundary, axis_y)
+    return _cross_residual_call(A.boundary, float(A.Cm1), float(A.X),
+                                float(A.Y), None, True,
+                                interpret or FORCE_INTERPRET, ny, nx,
+                                e, r0_pair[0], r0_pair[1], s, s,
+                                g_lo=g_lo, g_hi=g_hi)
+
+
+def heat_residual_dd_sharded(ut_pair, eF_pair, e, A, L, axis_y,
+                             extra_pair=None, interpret=False):
+    """Sharded twin of `heat_residual_dd` (uterm/e_F/extra planes are
+    pointwise; only e needs the halo exchange)."""
+    ny, nx = e.shape
+    x1, x2 = extra_pair if extra_pair is not None else (None, None)
+    g_lo, g_hi = _ghost_rows_e(e, A.boundary, axis_y)
+    return _cross_residual_call(A.boundary, float(A.C), float(A.X),
+                                float(A.Y), float(L), False,
+                                interpret or FORCE_INTERPRET, ny, nx,
+                                e, ut_pair[0], ut_pair[1],
+                                eF_pair[0], eF_pair[1], x1, x2,
+                                g_lo=g_lo, g_hi=g_hi)
 
 
 def supports_dd_sharded(p: SimParams, ny_local: int, nx_local: int = 0) -> bool:
@@ -830,6 +961,23 @@ def rkm_attempt_dd_pair_sharded(pair, tau, p: SimParams, axis_y: str, fu=0.0,
                           _scal_row(dirichlet_value, fu, tau, (first, last)),
                           ghosts=g)
     return (o[0], o[2], o[1], o[3]), jnp.max(o[4]), jnp.max(o[5])
+
+
+def si_prepare_dd_pair_sharded(pair, p: SimParams, axis_y: str,
+                               dirichlet_value=0.0, interpret=False):
+    """Sharded twin of `si_prepare_dd_pair`: the pair state's 8-row edge
+    slabs travel over ICI (`ghost_slabs_dd`, one 16-row message per field),
+    BC images apply only at global edges."""
+    g = ghost_slabs_dd(pair, axis_y)
+    first, last = _shard_flags(axis_y)
+    Fh, Fl, Uh, Ul = pair
+    o = _fullstep_call_dd(p, "si", interpret or FORCE_INTERPRET, 1,
+                          Fh, Fl, Uh, Ul,
+                          _scal_row(dirichlet_value, 0.0, 0.0, (first, last)),
+                          ghosts=g)
+    if len(o) > 4:
+        return (o[0], o[2]), (o[1], o[3]), o[4]
+    return (o[0], o[2]), (o[1], o[3])
 
 
 def pair_add_f32(pair, e_F, e_U):

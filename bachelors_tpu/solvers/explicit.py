@@ -40,6 +40,33 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
                     state_to_pair(F, U), p, topo.axis_y, T=1, fu=fu)
                 return pair_to_state(out)
         return euler_eval([(F, U)], [1.0], p, topo, fu)
+    if F.dtype == jnp.float64:
+        from ..ops import df64 as dd
+        from ..ops.pallas_dd import (euler_steps_dd_pair,
+                                     euler_steps_dd_pair_sharded,
+                                     state_to_pair, wants_dd,
+                                     wants_dd_sharded)
+
+        use_dd = wants_dd(p, topo)
+        use_dd_sh = (not use_dd
+                     and wants_dd_sharded(p, topo, F.shape[0], F.shape[1]))
+        if use_dd or use_dd_sh:
+            # corrector re-step (`simulation.cu:928-1008`): RHS at (F, U)
+            # but U integrates from the frozen U_base.  Run the fused pair
+            # step (out_U = U + dt*kU) and rebase exactly:
+            # next_U = U_base + (out_U - U) -- all TwoSum-family add/sub
+            # EFTs, safe against FMA contraction on every backend; the
+            # rebase reproduces U_base + dt*kU to the ~2^-48 pair
+            # precision of out_U itself
+            pair = state_to_pair(F, U)
+            if use_dd:
+                out = euler_steps_dd_pair(pair, p, T=1, fu=fu)
+            else:
+                out = euler_steps_dd_pair_sharded(pair, p, topo.axis_y,
+                                                  T=1, fu=fu)
+            du = dd.sub((out[2], out[3]), (pair[2], pair[3]))
+            nU = dd.add(dd.from_f64(U_base), du)
+            return dd.to_f64((out[0], out[1])), dd.to_f64(nU)
     dF, dU = eval_rhs([(F, U)], [1.0], p, topo, fu)
     return F + p.dt * dF, U_base + p.dt * dU
 

@@ -107,12 +107,12 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     if F.dtype == jnp.float64:
         from ..ops.pallas_dd import wants_dd_si
 
-        if wants_dd_si(p, topo):
+        if wants_dd_si(p, topo, F.shape[0], F.shape[1]):
             # df64 path: pair-precision prepare, f32 delta CG (the deltas
             # are O(dt)-scale; same scaled 5e-9 tolerance contract as the
             # reference's f64 CG), pair-precision add-back -- vs XLA's
             # per-op f64 emulation this is a ~10x step-cost cut
-            return _semi_implicit_step_dd(F, U, p, topo)
+            return _semi_implicit_step_dd(F, U, U_base, p, topo)
     # Fused CG kernels (matvec + <p,Ap> in one read) on the pallas backend.
     # The deeper cg_solve_fused 2-pass variant measured SLOWER at every
     # size (see the gate comment above) and stays off; the wiring remains
@@ -231,9 +231,9 @@ def semi_implicit_step_based(F, U, U_base, p: SimParams, topo: Topology):
     return next_F, next_U, res_F, res_U
 
 
-def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
-    """df64 semi-implicit step for float64 configs (isotropic, no
-    corrector; `ops.pallas_dd.wants_dd_si`).
+def _semi_implicit_step_dd(F, U, U_base, p: SimParams, topo: Topology):
+    """df64 semi-implicit step for float64 configs
+    (`ops.pallas_dd.wants_dd_si`).
 
     Precision argument: the state is carried at pair precision (~2^-48).
     The prepare computes the delta-form residuals r0_F = dt*dt_F and
@@ -245,17 +245,48 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
     `simulation.cu:608` semantics) is checked ON the f32 iterates, which
     the delta form keeps meaningful at this scale -- and the correction
     is added back in pair arithmetic (TwoSum only, FMA-safe at XLA level).
-    """
-    from ..ops.pallas_cg import aniso_matvec_pAp, cross_matvec_pAp
-    from ..ops.pallas_dd import (FORCE_INTERPRET, aniso_residual_dd,
-                                 cross_residual_dd, heat_residual_dd,
-                                 pair_add_f32, pair_to_state,
-                                 si_prepare_dd_pair, state_to_pair)
 
+    Corrector loop / gamma != 1 (`simulation.cu:893-899,928-1008`): the
+    extra heat-rhs terms (U_base - U) + dt*(1-gamma)*U_base are both
+    O(delta)-scale and assembled exactly in XLA f64 (one elementwise
+    expression per step -- negligible next to the CG solves even under
+    f64 emulation), then split to an f32 pair for the f32 CG rhs and the
+    pair-precision refinement residual.
+
+    y-sharded meshes (`wants_dd_sharded`): the prepare rides the
+    ghost-slab pair exchange, the CG matvecs their ghost-row sharded
+    twins (local <p,Ap>, psummed by cg_solve), and the refinement
+    residuals exchange ghost rows of e -- same collective count per
+    solve as the f32 sharded path.
+    """
+    from ..ops import df64 as dd
+    from ..ops.pallas_cg import (aniso_matvec_pAp, aniso_matvec_pAp_sharded,
+                                 cross_matvec_pAp, cross_matvec_pAp_sharded)
+    from ..ops.pallas_dd import (FORCE_INTERPRET, aniso_residual_dd,
+                                 aniso_residual_dd_sharded,
+                                 cross_residual_dd,
+                                 cross_residual_dd_sharded, heat_residual_dd,
+                                 heat_residual_dd_sharded, pair_add_f32,
+                                 pair_to_state, si_prepare_dd_pair,
+                                 si_prepare_dd_pair_sharded, state_to_pair)
+
+    axis_y = topo.axis_y if topo.is_sharded else None
     pair = state_to_pair(F, U)
-    prep = si_prepare_dd_pair(pair, p)
+    prep = (si_prepare_dd_pair_sharded(pair, p, axis_y)
+            if axis_y is not None else si_prepare_dd_pair(pair, p))
     s_map = prep[2] if len(prep) > 2 else None
     r0F_pair, ut_pair = prep[0], prep[1]
+
+    # corrector / gamma extra heat-rhs terms (zero and folded away on the
+    # plain path: U_base IS U there and gamma == 1)
+    extra64 = None
+    if U_base is not U:
+        extra64 = U_base - U
+    if p.gamma != 1.0:
+        g_term = p.dt * (1.0 - p.gamma) * U_base
+        extra64 = g_term if extra64 is None else extra64 + g_term
+    extra_pair = dd.from_f64(extra64) if extra64 is not None else None
+    extra32 = (extra_pair[0] + extra_pair[1]) if extra_pair is not None else 0.0
 
     A_F = AnisotropyMatrix.implicit_phase(p)
     A_U = CrossMatrix.implicit_heat(p)
@@ -266,9 +297,17 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
         s = p.gamma / p.alpha  # constant: isotropic, no corrector guess
         A_Fc = CrossMatrix(C=1 + A_F.Cm1 * s, X=A_F.X * s, Y=A_F.Y * s,
                            boundary=p.Phi_boundary)
-        mv_F = ((lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out))
-                if use_pallas_cg else None)
-        refine_F = lambda e1: cross_residual_dd(r0F_pair, e1, A_Fc)
+        if not use_pallas_cg:
+            mv_F = None
+        elif axis_y is not None:
+            mv_F = lambda v, out=None: cross_matvec_pAp_sharded(
+                A_Fc, v, axis_y, out=out)
+        else:
+            mv_F = lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out)
+        refine_F = (
+            (lambda e1: cross_residual_dd_sharded(r0F_pair, e1, A_Fc, axis_y))
+            if axis_y is not None
+            else (lambda e1: cross_residual_dd(r0F_pair, e1, A_Fc)))
     else:
         # variable s (anisotropy / corrector-guess): the prepare's f32
         # map parameterizes both the CG matvec and the refinement
@@ -276,11 +315,26 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
         # (no Jacobi): measured on the f32 path, preconditioning costs
         # more than it saves with the fused aniso matvec (_wants_jacobi).
         s = s_map
-        mv_F = ((lambda v, out=None: aniso_matvec_pAp(A_F, s_map, v, out=out))
-                if use_pallas_cg else None)
-        refine_F = lambda e1: aniso_residual_dd(r0F_pair, e1, A_F, s_map)
-    mv_U = ((lambda v, out=None: cross_matvec_pAp(A_U, v, out=out))
-            if use_pallas_cg else None)
+        if not use_pallas_cg:
+            mv_F = None
+        elif axis_y is not None:
+            mv_F = lambda v, out=None: aniso_matvec_pAp_sharded(
+                A_F, s_map, v, axis_y, out=out)
+        else:
+            mv_F = lambda v, out=None: aniso_matvec_pAp(A_F, s_map, v,
+                                                        out=out)
+        refine_F = (
+            (lambda e1: aniso_residual_dd_sharded(r0F_pair, e1, A_F, s_map,
+                                                  axis_y))
+            if axis_y is not None
+            else (lambda e1: aniso_residual_dd(r0F_pair, e1, A_F, s_map)))
+    if not use_pallas_cg:
+        mv_U = None
+    elif axis_y is not None:
+        mv_U = lambda v, out=None: cross_matvec_pAp_sharded(A_U, v, axis_y,
+                                                            out=out)
+    else:
+        mv_U = lambda v, out=None: cross_matvec_pAp(A_U, v, out=out)
     mvx_F = lambda v: anisotropy_matvec(A_F, s, v, topo)
     mvx_U = lambda v: cross_matvec(A_U, v, topo)
 
@@ -300,7 +354,7 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
     if not SI_DD_REFINE:
         e_F = e1_F
         e_U, res_U = solve(mvx_U, mv_U,
-                           p.L * e_F + (ut_pair[0] + ut_pair[1]),
+                           p.L * e_F + (ut_pair[0] + ut_pair[1]) + extra32,
                            p.T_tolerance, p.T_max_iters)
         next_F, next_U = pair_to_state(pair_add_f32(pair, e_F, e_U))
         return next_F, next_U, res_F, res_U
@@ -310,9 +364,15 @@ def _semi_implicit_step_dd(F, U, p: SimParams, topo: Topology):
                          p.Phi_tolerance, p.Phi_max_iters)
 
     e1_U, res_U = solve(mvx_U, mv_U,
-                        p.L * (e1_F + e2_F) + (ut_pair[0] + ut_pair[1]),
+                        p.L * (e1_F + e2_F) + (ut_pair[0] + ut_pair[1])
+                        + extra32,
                         p.T_tolerance, p.T_max_iters)
-    r1_U = heat_residual_dd(ut_pair, (e1_F, e2_F), e1_U, A_U, p.L)
+    if axis_y is not None:
+        r1_U = heat_residual_dd_sharded(ut_pair, (e1_F, e2_F), e1_U, A_U,
+                                        p.L, axis_y, extra_pair=extra_pair)
+    else:
+        r1_U = heat_residual_dd(ut_pair, (e1_F, e2_F), e1_U, A_U, p.L,
+                                extra_pair=extra_pair)
     e2_U, res_U2 = solve(mvx_U, mv_U, r1_U, p.T_tolerance, p.T_max_iters)
 
     # add back x + e1 + e2 in pair precision (e2 would vanish inside a

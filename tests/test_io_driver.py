@@ -450,3 +450,23 @@ def test_shipped_config_ini_runs(tmp_path, monkeypatch):
     cfg = load_config(cfg_path)
     assert cfg.params.S == 0.25 and cfg.params.m0 == 6.0
     assert cfg.params.solver.value == "explicit-rk4-adaptive"
+
+
+def test_f64_x_sharded_warns_about_dd_fallback(capsys):
+    """[tpu] dtype=float64 + shards_x>1 rides XLA's slow f64 emulation
+    (the df64 kernels are y-mesh only) -- the config loader must say so
+    loudly at parse time."""
+    cfg = parse_config(
+        CONFIG_TEXT,
+        ["[tpu]\nbackend = auto\ndtype = float64\nshards_x = 2\n"])
+    err = capsys.readouterr().err
+    assert "shards_x" in err and "y-sharded" in err
+    assert cfg.shards_x == 2
+    # no warning when the y-mesh (the supported shape) is used instead,
+    # or when backend=xla explicitly opts into the emulation path
+    parse_config(CONFIG_TEXT,
+                 ["[tpu]\nbackend = auto\ndtype = float64\nshards_y = 2\n"])
+    parse_config(CONFIG_TEXT, ["[tpu]\ndtype = float64\nshards_x = 2\n"])
+    assert "shards_x" not in capsys.readouterr().err
+
+

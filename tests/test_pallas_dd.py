@@ -155,6 +155,27 @@ class TestEulerDD:
         assert relerr(nU, U + p.dt * dU) < 1e-12
         assert relerr(nF, F + p.dt * dF) < 1e-12
 
+    def test_corrector_rebase_matches_f64_oracle(self):
+        """The corrector re-step (same_base=False: RHS at (F, U), U
+        integrated from the frozen U_base, `simulation.cu:928-1008`) rides
+        the dd kernel via the exact pair rebase
+        next_U = U_base + (out_U - U)."""
+        from bachelors_tpu.solvers.explicit import euler_step_based
+
+        p_dd = make_p(backend="pallas")
+        F, U = fields(p_dd, seed=61)
+        rng = np.random.default_rng(67)
+        U_base = U + jnp.asarray(1e-4 * rng.normal(size=U.shape), jnp.float64)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            nF, nU = euler_step_based(F, U, U_base, p_dd, TOPO,
+                                      same_base=False)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        dF, dU = eval_rhs([(F, U)], [1.0], p_dd.replace(backend="xla"), TOPO)
+        assert relerr(nF, F + p_dd.dt * dF) < 1e-12
+        assert relerr(nU, U_base + p_dd.dt * dU) < 1e-12
+
 
 @pytest.mark.dd_compile_heavy  # 4-stage interpret graph: ~20+ min compile
 class TestRK4DD:
@@ -413,10 +434,77 @@ class TestSemiImplicitDD:
     def test_gating(self):
         from bachelors_tpu.ops.pallas_dd import wants_dd_si
 
+        # corrector loop and gamma != 1 are COVERED by the dd path since
+        # round 4 (extra heat-rhs pair); only the differentiable path and
+        # the explicit xla opt-out fall back to XLA f64
+        assert wants_dd_si(self.make_si_p(backend="pallas",
+                                          do_corrector_loop=True,
+                                          corrector_max_iters=2), TOPO)
+        assert wants_dd_si(self.make_si_p(backend="pallas", gamma=0.9), TOPO)
         assert not wants_dd_si(self.make_si_p(backend="pallas",
-                                              do_corrector_loop=True,
-                                              corrector_max_iters=2), TOPO)
+                                              differentiable=True), TOPO)
         assert not wants_dd_si(self.make_si_p(backend="xla"), TOPO)
+
+        # y-sharded meshes ride the ghost-slab prepare + ghost-row
+        # residuals (round 4); x/2D meshes still fall back
+        class _Topo:
+            is_sharded = True
+            axis_y = "y"
+            axis_x = None
+
+        p_sh = self.make_si_p(backend="pallas")
+        assert wants_dd_si(p_sh, _Topo(), 64, 128)
+        assert not wants_dd_si(p_sh, _Topo())  # no local shape supplied
+        _Topo.axis_x = "x"
+        assert not wants_dd_si(p_sh, _Topo(), 64, 128)
+
+    def test_step_gamma_blend(self):
+        """gamma != 1 (`simulation.cu:798-871,893-899`): gamma scales the
+        phase operator s AND adds the dt*(1-gamma)*U_base heat-rhs term;
+        the dd step must track the f64 XLA step."""
+        from bachelors_tpu.solvers.semi_implicit import semi_implicit_step_based
+        from bachelors_tpu.ops.pallas_dd import wants_dd_si
+
+        p_dd = self.make_si_p(backend="pallas", gamma=0.7)
+        p_or = p_dd.replace(backend="xla")
+        F, U = fields(p_or, seed=71)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            assert wants_dd_si(p_dd, TOPO)
+            nF, nU, rF, rU = semi_implicit_step_based(F, U, U, p_dd, TOPO)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        wF, wU, wrF, wrU = semi_implicit_step_based(F, U, U, p_or, TOPO)
+        dF_scale = float(jnp.max(jnp.abs(wF - F))) + 1e-30
+        dU_scale = float(jnp.max(jnp.abs(wU - U))) + 1e-30
+        assert float(jnp.max(jnp.abs(nF - wF))) < 1e-6 * dF_scale + 1e-12
+        assert float(jnp.max(jnp.abs(nU - wU))) < 1e-6 * dU_scale + 1e-12
+        assert bool(rF.converged) and bool(rU.converged)
+
+    def test_step_corrector_loop(self):
+        """The corrector loop (`simulation.cu:928-1008`) on the dd path:
+        the full make_stepper step with do_corrector_loop re-solves with
+        the frozen U_base threaded through the extra heat-rhs pair, and
+        must track the f64 XLA stepper."""
+        from bachelors_tpu.ops.pallas_dd import wants_dd_si
+        from bachelors_tpu.solvers.base import make_stepper
+
+        p_dd = self.make_si_p(backend="pallas", do_corrector_loop=True,
+                              corrector_max_iters=2)
+        p_or = p_dd.replace(backend="xla")
+        F, U = fields(p_or, seed=73)
+        state = bt.make_state(F, U, p_or)
+        pallas_dd.FORCE_INTERPRET = True
+        try:
+            assert wants_dd_si(p_dd, TOPO)
+            got, _stats = make_stepper(p_dd, TOPO)(state)
+        finally:
+            pallas_dd.FORCE_INTERPRET = False
+        want, _wstats = make_stepper(p_or, TOPO)(state)
+        dF_scale = float(jnp.max(jnp.abs(want.F - F))) + 1e-30
+        dU_scale = float(jnp.max(jnp.abs(want.U - U))) + 1e-30
+        assert float(jnp.max(jnp.abs(got.F - want.F))) < 1e-6 * dF_scale + 1e-12
+        assert float(jnp.max(jnp.abs(got.U - want.U))) < 1e-6 * dU_scale + 1e-12
 
     def test_cross_residual_kernel(self):
         """cross_residual_dd == r0 - A e computed in f64, to the f32

@@ -80,6 +80,31 @@ class TestSweep:
         assert row["tolerance"] == pytest.approx(5e-9)
         assert row["config"] == "config_explicit_32.ini"
 
+    def test_row_retry_on_transient_failure(self, monkeypatch):
+        """A transient UNAVAILABLE on a ladder row retries after backoff
+        instead of recording a dead row (VERDICT r3 item 1a)."""
+        calls = {"n": 0}
+
+        def flaky_run(path, make_folder=False):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("UNAVAILABLE: TPU backend connection "
+                                   "dropped 8 times consecutively")
+            return f"ok-{calls['n']}"
+
+        import time as _time
+
+        monkeypatch.setattr(_time, "sleep", lambda s: None)
+        runs = sweep._run_row_with_retry(flaky_run, "c.ini", repeat=2,
+                                         backoff_s=0)
+        assert runs == ["ok-2", "ok-3"]
+
+        def always_bad(path, make_folder=False):
+            raise ValueError("mesh_size_x must be positive")
+
+        with pytest.raises(ValueError):  # non-transient: no retry
+            sweep._run_row_with_retry(always_bad, "c.ini", repeat=1)
+
     def test_adaptive_tolerance_tracks_dtype(self, tmp_path):
         """The emitted adaptive config carries the dtype-commensurate
         tolerance -- the measured artifact and the shipped generator can

@@ -387,3 +387,60 @@ def test_sharded_dd_euler_pair_stepper():
     assert np.abs(np.asarray(out.F) - np.asarray(want.F)).max() < 1e-12 * scale
     assert np.abs(np.asarray(out.U) - np.asarray(want.U)).max() < 1e-12
     assert int(out.iter) == pair.block_steps
+
+
+def _run_dd_si_sharded(p):
+    """One sharded f64 S-I step on a 2-way y-mesh through the dd path
+    (interpret mode), against the XLA f64 stepper on the full domain."""
+    import bachelors_tpu.ops.pallas_dd as pdd
+    from bachelors_tpu.ops.pallas_dd import wants_dd_si
+
+    mesh, topo = make_mesh(shards_y=2)
+    F, U = bt.make_initial_fields(p, bt.InitialConditions(
+        circle_center=(2.0, 2.0), circle_radius=0.4, circle_fade=4.0))
+    F = F.astype(jnp.float64)
+    U = U.astype(jnp.float64)
+    st = bt.make_state(F, U, p)
+    pdd.FORCE_INTERPRET = True
+    try:
+        assert wants_dd_si(p, topo, p.ny // 2, p.nx)
+        step = make_sharded_stepper(p, mesh, topo)
+        with jax.set_mesh(mesh):
+            out, _ = step(shard_state(st, mesh, topo))
+    finally:
+        pdd.FORCE_INTERPRET = False
+    want, _ = bt.make_stepper(p.replace(backend="xla"))(st)
+    dF = float(np.abs(np.asarray(want.F) - np.asarray(F)).max()) + 1e-30
+    dU = float(np.abs(np.asarray(want.U) - np.asarray(U)).max()) + 1e-30
+    assert np.abs(np.asarray(out.F) - np.asarray(want.F)).max() < 1e-6 * dF + 1e-12
+    assert np.abs(np.asarray(out.U) - np.asarray(want.U)).max() < 1e-6 * dU + 1e-12
+
+
+def test_sharded_dd_semi_implicit_stepper():
+    """float64 semi-implicit on a y-mesh rides the dd ghost-slab prepare
+    + ghost-row refinement residual kernels; the sharded step must match
+    the single-device XLA f64 stepper to the CG-tolerance scale."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    p = bt.SimParams(nx=128, ny=64, L0=4.0, dt=5e-6, S=0.0,
+                     solver=SolverType.SEMI_IMPLICIT,
+                     dtype="float64", backend="pallas",
+                     f32_transcendentals=False,
+                     Phi_tolerance=1e-10, T_tolerance=1e-10,
+                     Phi_max_iters=60, T_max_iters=60)
+    _run_dd_si_sharded(p)
+
+
+def test_sharded_dd_semi_implicit_guess_stepper():
+    """The variable-s family (corrector-guess) on a y-mesh: the prepare's
+    s map + `aniso_residual_dd_sharded` ghost rows."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    p = bt.SimParams(nx=128, ny=64, L0=4.0, dt=5e-6, S=0.0,
+                     solver=SolverType.SEMI_IMPLICIT,
+                     do_corrector_guess=True,
+                     dtype="float64", backend="pallas",
+                     f32_transcendentals=False,
+                     Phi_tolerance=1e-10, T_tolerance=1e-10,
+                     Phi_max_iters=60, T_max_iters=60)
+    _run_dd_si_sharded(p)
