@@ -48,6 +48,21 @@ from . import df64 as dd
 from .pallas_rhs import (_EULER2_BUDGET, _col_mask, _roll, _specs, _tile_y)
 
 EULER_DD_BLOCK_STEPS = 4  # fused Euler sub-steps per HBM pass (depth <= 8)
+# HBM-regime depth: above the on-chip cache window the pair state (4 f32
+# planes) streams from HBM every pass, so deeper blocking keeps winning --
+# measured single-process on device (ms/step, T=4 vs T=8): 512^2
+# 0.0217/0.0259 (T=4 wins, cache-resident: blocking only adds halo
+# recompute), 1024^2 0.0982/0.0915, 2048^2 0.4344/0.3988 (T=8 takes the
+# last losing equal-precision row to 1.10x the A100's native-f64 0.4375).
+EULER_DD_BLOCK_STEPS_HBM = 8
+_EULER_DD_HBM_MIN_CELLS = 1 << 20  # crossover measured between 512^2/1024^2
+
+
+def euler_dd_block_steps(cells: int) -> int:
+    """Temporal-blocking depth for the fused df64 Euler kernel, by the
+    (shard-local) cell count."""
+    return (EULER_DD_BLOCK_STEPS_HBM if cells >= _EULER_DD_HBM_MIN_CELLS
+            else EULER_DD_BLOCK_STEPS)
 
 # test hooks: force a small row tile so interpret-mode tests can exercise
 # multi-program grids (halo seams) on small arrays; force interpret mode so

@@ -110,14 +110,15 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
 
     if p.dtype == "float64":
         # df64 fused multi-step Euler: the f64<->pair conversions amortize
-        # over EULER_DD_BLOCK_STEPS steps per HBM pass (ops/pallas_dd.py)
-        from ..ops.pallas_dd import (EULER_DD_BLOCK_STEPS,
+        # over the blocking depth per HBM pass; depth 8 in the HBM regime,
+        # 4 when cache-resident (ops/pallas_dd.euler_dd_block_steps)
+        from ..ops.pallas_dd import (euler_dd_block_steps,
                                      euler_steps_dd,
                                      euler_steps_dd_pair_sharded,
                                      pair_to_state, state_to_pair, wants_dd,
                                      wants_dd_sharded)
 
-        Tdd = EULER_DD_BLOCK_STEPS
+        Tdd = euler_dd_block_steps(p.N)
         if topo.is_sharded:
             if mesh is None or topo.axis_x is not None or topo.axis_batch:
                 return None
@@ -125,6 +126,8 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
             ny_local = p.ny // n_y
             if not wants_dd_sharded(p, topo, ny_local, p.nx):
                 return None
+            # per-shard working set decides the cache/HBM regime
+            Tdd = euler_dd_block_steps(ny_local * p.nx)
             import jax
 
             from ..parallel.sharded import _state_specs

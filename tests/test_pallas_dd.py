@@ -358,6 +358,25 @@ class TestGating:
         assert not wants_dd(make_p(backend="xla"), TOPO)
         assert wants_dd(make_p(backend="pallas"), TOPO)
 
+    def test_euler_dd_block_steps_policy(self):
+        """Depth 8 in the HBM regime, 4 cache-resident (hardware-measured
+        crossover between 512^2 and 1024^2, ops/pallas_dd.py)."""
+        from bachelors_tpu.ops.pallas_dd import euler_dd_block_steps
+        from bachelors_tpu.solvers.explicit import make_euler_pair_stepper
+
+        assert euler_dd_block_steps(512 * 512) == 4
+        assert euler_dd_block_steps(1024 * 1024) == 8
+        # the stepper's loop math sees the policy depth (closure only;
+        # the kernel is not built until the first call)
+        p_big = make_p(backend="pallas", nx=2048, ny=2048,
+                       solver=bt.SolverType.EXPLICIT_EULER)
+        pair = make_euler_pair_stepper(p_big, TOPO)
+        assert pair is not None and pair.block_steps == 8
+        p_small = make_p(backend="pallas", nx=256, ny=256,
+                         solver=bt.SolverType.EXPLICIT_EULER)
+        pair = make_euler_pair_stepper(p_small, TOPO)
+        assert pair is not None and pair.block_steps == 4
+
 
 class TestSemiImplicitDD:
     def make_si_p(self, **kw):

@@ -389,6 +389,56 @@ def test_sharded_dd_euler_pair_stepper():
     assert int(out.iter) == pair.block_steps
 
 
+@pytest.mark.dd_compile_heavy
+def test_sharded_dd_euler_pair_seams_depth8(monkeypatch):
+    """Depth-8 temporal blocking consumes the FULL 8-row ghost slab: the
+    seam advancement's shrinking valid depth bottoms out at exactly one
+    ghost row for the 8th step (`ops/pallas_dd.py` halo budget 1..8).
+    Forces the HBM-regime policy (`euler_dd_block_steps` -> 8) on a tiny
+    grid via the threshold hook and checks two true shards against 8
+    single steps of the XLA f64 oracle at pair precision."""
+    import numpy as np
+
+    import bachelors_tpu as bt
+    import bachelors_tpu.ops.pallas_dd as pdd
+    from bachelors_tpu.parallel.mesh import make_mesh, shard_state
+    from bachelors_tpu.solvers.base import make_stepper
+    from bachelors_tpu.solvers.explicit import make_euler_pair_stepper
+    from bachelors_tpu.solvers.run import advance_n
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    monkeypatch.setattr(pdd, "_EULER_DD_HBM_MIN_CELLS", 1)
+    mesh, topo = make_mesh(shards_y=2)
+    p = bt.SimParams(nx=128, ny=64, L0=4.0, dt=5e-6, S=0.0,
+                     solver=bt.SolverType.EXPLICIT_EULER,
+                     dtype="float64", backend="pallas",
+                     f32_transcendentals=False)
+
+    pdd.FORCE_INTERPRET = True
+    try:
+        pair = make_euler_pair_stepper(p, topo, mesh=mesh)
+        assert pair is not None and pair.block_steps == 8
+
+        F, U = bt.make_initial_fields(p, bt.InitialConditions(
+            circle_center=(2.0, 2.0), circle_radius=0.4, circle_fade=4.0))
+        F = F.astype(jnp.float64)
+        U = U.astype(jnp.float64)
+        st = bt.make_state(F, U, p)
+        with jax.set_mesh(mesh):
+            out = pair(shard_state(st, mesh, topo))
+    finally:
+        pdd.FORCE_INTERPRET = False
+
+    p_x = p.replace(backend="xla")
+    want = advance_n(make_stepper(p_x), st, 8)
+    scale = float(np.abs(np.asarray(want.F)).max())
+    assert np.abs(np.asarray(out.F) - np.asarray(want.F)).max() < 1e-12 * scale
+    assert np.abs(np.asarray(out.U) - np.asarray(want.U)).max() < 1e-12
+    assert int(out.iter) == 8
+
+
 def _run_dd_si_sharded(p):
     """One sharded f64 S-I step on a 2-way y-mesh through the dd path
     (interpret mode), against the XLA f64 stepper on the full domain."""
