@@ -118,7 +118,6 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
                                      pair_to_state, state_to_pair, wants_dd,
                                      wants_dd_sharded)
 
-        Tdd = euler_dd_block_steps(p.N)
         if topo.is_sharded:
             if mesh is None or topo.axis_x is not None or topo.axis_batch:
                 return None
@@ -152,6 +151,8 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
             return pair_dd_sh
         if not wants_dd(p, topo):
             return None
+        # single-chip: the GLOBAL cell count is the working set
+        Tdd = euler_dd_block_steps(p.N)
 
         def pair_dd(state):
             F2, U2 = euler_steps_dd(state.F, state.U, p, T=Tdd)
