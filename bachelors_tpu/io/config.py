@@ -188,6 +188,32 @@ class SimConfig:
     multihost: bool = False  # jax.distributed autodetect (pods/SLURM/k8s)
 
 
+def _fused_kernel_gap(p: SimParams, shards_y: int, shards_x: int) -> Optional[str]:
+    """Why a backend=auto config would NOT engage the fused Pallas kernels
+    on TPU (None = it tiles).  Mirrors the geometry gates of
+    `ops.pallas_rhs.supports` / `ops.pallas_dd.supports_dd`, evaluated on
+    the per-shard local shape."""
+    ny_l = p.ny // max(shards_y, 1)
+    nx_l = p.nx // max(shards_x, 1)
+    view = p.replace(ny=ny_l, nx=nx_l)
+    if p.dtype == "float64":
+        from ..ops.pallas_dd import supports_dd
+        ok = supports_dd(view)
+    else:
+        from ..ops.pallas_rhs import supports
+        ok = supports(view)
+    if ok:
+        return None
+    if nx_l % 128 != 0:
+        return f"nx per shard ({nx_l}) is not a multiple of 128"
+    if ny_l % 8 != 0 or ny_l < 16:
+        return f"ny per shard ({ny_l}) is not a multiple of 8 that is >= 16"
+    if p.S != 0.0 and not (float(p.m0).is_integer() and p.m0 >= 1):
+        return (f"anisotropy needs integer m0 >= 1 for the VPU angle "
+                f"recurrence (m0 = {p.m0:g})")
+    return "no row tile fits the VMEM budget at this nx"
+
+
 def load_config(path: str, overrides: Optional[List[str]] = None) -> SimConfig:
     """Read and bind a config file; ``overrides`` are extra INI fragments
     (e.g. ``"[simulation]\\nsolver = explicit"``) applied last."""
@@ -319,6 +345,19 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
             "fused kernels support y-sharded meshes only; this run falls "
             "back to XLA's per-op f64 software emulation (3-196x slower). "
             f"Prefer shards_y={cfg.shards_x * cfg.shards_y} shards_x=1.")
+    elif cfg.params.backend == "auto":
+        # backend=auto silently resolves to the XLA path on TPU when the
+        # config does not tile for the fused kernels
+        # (`ops.rhs._resolve_backend`) -- running at a fraction of the
+        # fused speed with no signal.  Name the violated constraint at
+        # config time (backend=pallas raises at run time instead, and
+        # backend=xla is an explicit opt-out).
+        gap = _fused_kernel_gap(cfg.params, cfg.shards_y, cfg.shards_x)
+        if gap:
+            log.warn(
+                "[tpu] backend=auto: this config cannot engage the fused "
+                f"Pallas kernels on TPU ({gap}); it will run the XLA "
+                "fallback path at a fraction of the fused-kernel speed.")
     if b.missing:
         raise ConfigError(
             "couldn't find or parse config entries: " + ", ".join(b.missing))

@@ -470,3 +470,28 @@ def test_f64_x_sharded_warns_about_dd_fallback(capsys):
     assert "shards_x" not in capsys.readouterr().err
 
 
+def test_auto_backend_warns_on_non_tiling_config(capsys):
+    """backend=auto on a config the fused kernels cannot tile (nx not a
+    multiple of 128) must warn at parse time naming the constraint --
+    otherwise the run silently rides the XLA path at a fraction of the
+    speed (`ops.rhs._resolve_backend` returns \"xla\" with no signal)."""
+    base = ["[simulation]\nmesh_size_x = 1000\nmesh_size_y = 1000\n",
+            "[tpu]\nbackend = auto\n"]
+    parse_config(CONFIG_TEXT, base)
+    err = capsys.readouterr().err
+    assert "fused" in err and "128" in err and "1000" in err
+    # a tiling config stays quiet...
+    parse_config(CONFIG_TEXT, ["[simulation]\nmesh_size_x = 1024\n"
+                               "mesh_size_y = 1024\n", "[tpu]\nbackend = auto\n"])
+    # ...as does an explicit backend=xla opt-out on the non-tiling one
+    parse_config(CONFIG_TEXT, [base[0], "[tpu]\nbackend = xla\n"])
+    assert "fused" not in capsys.readouterr().err
+    # the constraint is evaluated per SHARD: 1024 wide split over 16
+    # x-shards is 64 columns per shard
+    parse_config(CONFIG_TEXT, ["[simulation]\nmesh_size_x = 1024\n"
+                               "mesh_size_y = 1024\n",
+                               "[tpu]\nbackend = auto\nshards_x = 16\n"])
+    err = capsys.readouterr().err
+    assert "fused" in err and "per shard (64)" in err
+
+
