@@ -89,7 +89,7 @@ beta = 1400
 Tm = 1
 L0 = 4
 
-S = 0
+S = {S}
 m = 6
 theta0 = 0
 
@@ -115,9 +115,10 @@ snapshot_initial_conditions = 0
 
 
 def config_name(solver: str, scale: float, dtype: str = "float32",
-                backend: Optional[str] = None) -> str:
+                backend: Optional[str] = None, aniso: bool = False) -> str:
     mesh = int(BASE_MESH * scale)
-    suffix = "_f64" if dtype == "float64" else ""
+    suffix = "_aniso" if aniso else ""
+    suffix += "_f64" if dtype == "float64" else ""
     if backend:
         suffix += f"_{backend}"
     return f"config_{solver}_{mesh}{suffix}.ini"
@@ -126,12 +127,16 @@ def config_name(solver: str, scale: float, dtype: str = "float32",
 def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
                      scales: Sequence[float] = SCALES,
                      snapshots: int = 0, dtype: str = "float32",
-                     backend: Optional[str] = None) -> List[str]:
+                     backend: Optional[str] = None,
+                     aniso: bool = False) -> List[str]:
     """``backend`` pins `[tpu] backend` in the emitted configs.  The f64
     ladder's default (auto) engages the df64 fused kernels for the
     explicit solvers; ``backend="xla"`` pins XLA's true-f64 software
     emulation -- the conservative equal-precision comparison
-    (sweep_r3_f64_xla.json)."""
+    (sweep_r4_f64_xla.json).  ``aniso`` emits the PRODUCTION-physics
+    family (S=0.25, m=6 -- the dendrite regime of the reference's
+    shipped `config.ini`); the isotropic default is the reference's own
+    benchmark ladder (`generator.py:228-245` sets S=0)."""
     os.makedirs(outdir, exist_ok=True)
     tpu_lines = []
     if dtype != "float32":
@@ -149,9 +154,10 @@ def generate_configs(outdir: str, solvers: Sequence[str] = SOLVERS,
                                     folder="sweep_out",
                                     prefix=f"{solver}_{mesh}_",
                                     tolerance=tolerance_for(solver, dtype),
+                                    S="0.25" if aniso else "0",
                                     tpu_section=tpu_section)
             path = os.path.join(outdir, config_name(solver, scale, dtype,
-                                                    backend))
+                                                    backend, aniso))
             with open(path, "w") as f:
                 f.write(text)
             paths.append(path)
@@ -209,7 +215,8 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
               scales: Sequence[float] = SCALES,
               report_path: Optional[str] = None,
               warmup: bool = True, repeat: int = 2,
-              dtype: str = "float32", backend: Optional[str] = None) -> Dict:
+              dtype: str = "float32", backend: Optional[str] = None,
+              aniso: bool = False) -> Dict:
     """Run the ladder, returning {solver: {mesh: {runtime, iters, ...}}}.
 
     Mirrors the reference's measured artifact
@@ -245,9 +252,9 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
         while wscale in scales:
             wscale /= 2
         path = os.path.join(outdir, config_name(solvers[0], wscale, dtype,
-                                                backend))
+                                                backend, aniso))
         generate_configs(outdir, [solvers[0]], [wscale], dtype=dtype,
-                         backend=backend)
+                         backend=backend, aniso=aniso)
         log.info("warmup run (untimed)")
         run_config_file(path, make_folder=False)
 
@@ -281,10 +288,10 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
             if "error" not in results[solver].get(mesh, {"error": 1}):
                 continue  # resumed row already measured
             path = os.path.join(outdir, config_name(solver, scale, dtype,
-                                                    backend))
+                                                    backend, aniso))
             if not os.path.exists(path):
                 generate_configs(outdir, [solver], [scale], dtype=dtype,
-                                 backend=backend)
+                                 backend=backend, aniso=aniso)
             p = load_config(path).params
             try:
                 runs = _run_row_with_retry(run_config_file, path,
@@ -322,7 +329,8 @@ def run_sweep(outdir: str, solvers: Sequence[str] = SOLVERS,
 
 
 def verify_report(report_path: str, dtype: str = "float32",
-                  backend: Optional[str] = None) -> List[str]:
+                  backend: Optional[str] = None,
+                  aniso: bool = False) -> List[str]:
     """Check a committed sweep artifact against the CURRENT generator:
     every row's recorded (config name, tolerance, dtype) must match what
     ``generate_configs`` would emit today.  Returns a list of mismatch
@@ -343,9 +351,9 @@ def verify_report(report_path: str, dtype: str = "float32",
             for mesh, row in rows.items():
                 scale = int(mesh) / BASE_MESH
                 generate_configs(tmp, [solver], [scale], dtype=dtype,
-                                 backend=backend)
+                                 backend=backend, aniso=aniso)
                 path = os.path.join(tmp, config_name(solver, scale, dtype,
-                                                     backend))
+                                                     backend, aniso))
                 from ..io.config import load_config
 
                 p = load_config(path).params
@@ -384,17 +392,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--backend", default=None, choices=["pallas", "xla"],
                     help="pin [tpu] backend in the generated configs "
                     "(xla = true-f64 software emulation ladder)")
+    ap.add_argument("--aniso", action="store_true",
+                    help="production-physics family: S=0.25, m=6 (the "
+                    "dendrite regime of the reference's config.ini)")
     args = ap.parse_args(argv)
 
     solvers = args.solver or list(SOLVERS)
     scales = args.scale or list(SCALES)
     if args.command == "generate":
         generate_configs(args.outdir, solvers, scales, dtype=args.dtype,
-                         backend=args.backend)
+                         backend=args.backend, aniso=args.aniso)
     elif args.command == "verify":
         # `verify ARTIFACT.json [--dtype ...]`: outdir doubles as the path
         problems = verify_report(args.outdir, dtype=args.dtype,
-                                 backend=args.backend)
+                                 backend=args.backend, aniso=args.aniso)
         for pr in problems:
             log.error(pr)
         if not problems:
@@ -402,7 +413,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1 if problems else 0
     else:
         run_sweep(args.outdir, solvers, scales, report_path=args.report,
-                  dtype=args.dtype, backend=args.backend)
+                  dtype=args.dtype, backend=args.backend, aniso=args.aniso)
     return 0
 
 

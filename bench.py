@@ -102,6 +102,91 @@ def sync(x):
     return float(jnp.sum(x))
 
 
+# --- north-star roofline (BASELINE.md: ">=80% of HBM-roofline
+# cell-updates/sec").  The memory-bound kernel class of this framework is
+# the CG iteration (RESULTS.md "the HBM floor model"): 44 B/cell/iteration
+# -- fused matvec+<p,Ap> with dead-buffer output aliasing (8 B/cell),
+# fused x/r update (24 B/cell), in-place axpby (12 B/cell).  The explicit
+# solvers at the 2048^2 headline size are cache-resident/VPU-bound
+# (effective rates exceed HBM bandwidth there), so the roofline fraction
+# is measured at a true-HBM size (8192^2) against a SAME-PROCESS stream
+# probe (HBM timings vary ~50% between processes, CLAUDE.md).  Reference
+# habit being matched: its GB/s printouts (`simulation.cu:1269-1296`).
+CG_ITER_BYTES_PER_CELL = 44.0
+STREAM_BYTES_PER_CELL = 12.0  # in-place axpby: read r, read p, write p
+
+
+def roofline_cg(n=8192):
+    """Returns the roofline sub-dict: measured stream GB/s, production CG
+    iteration cost, its effective GB/s, and the roofline fraction."""
+    import numpy as np
+
+    from bachelors_tpu.ops.pallas_cg import axpby_inplace, cross_matvec_pAp
+    from bachelors_tpu.ops.stencil import CrossMatrix
+
+    rng = np.random.default_rng(0)
+    # big arrays as jit OPERANDS, never closures (HTTP 413, CLAUDE.md)
+    r = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    pv = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+
+    @jax.jit
+    def stream(r, pv, reps):
+        def body(_, pv):
+            return axpby_inplace(1.0, 0.9999, r, pv)
+        return jax.lax.fori_loop(0, reps, body, pv)
+
+    k_big, k_small = 64, 8
+    sync(stream(r, pv, k_small))
+    sync(stream(r, pv, k_big))
+    t0 = time.perf_counter()
+    sync(stream(r, pv, k_small))
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(stream(r, pv, k_big))
+    t_b = time.perf_counter() - t0
+    t_axpby = (t_b - t_s) / (k_big - k_small)
+    stream_gbps = STREAM_BYTES_PER_CELL * n * n / t_axpby / 1e9
+
+    # production CG: the implicit-heat operator at ladder-parity dx
+    p_si = bt.SimParams(nx=n, ny=n, L0=4.0 * n / 512, dt=5e-6,
+                        solver=bt.SolverType.SEMI_IMPLICIT, dtype="float32")
+    A = CrossMatrix.implicit_heat(p_si)
+    mv = lambda v, out=None: cross_matvec_pAp(A, v, out=out)
+
+    from bachelors_tpu.solvers.cg import cg_solve
+
+    def make_solver(iters):
+        def run(b):
+            # tolerance 0 never converges: exactly `iters` iterations
+            x, _res = cg_solve(lambda v: v, b, tolerance=0.0,
+                               max_iters=iters, matvec_pAp=mv)
+            return x
+        return jax.jit(run)
+
+    deep, shallow = make_solver(24), make_solver(4)
+    sync(shallow(r))
+    sync(deep(r))
+    t0 = time.perf_counter()
+    sync(shallow(r))
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(deep(r))
+    t_b = time.perf_counter() - t0
+    t_iter = (t_b - t_s) / 20
+    eff_gbps = CG_ITER_BYTES_PER_CELL * n * n / t_iter / 1e9
+    return {
+        "grid": n,
+        "stream_gbps": round(stream_gbps, 1),
+        "cg_iter_ms": round(t_iter * 1e3, 4),
+        "cg_iter_bytes_per_cell": CG_ITER_BYTES_PER_CELL,
+        "effective_gbps": round(eff_gbps, 1),
+        "roofline_frac": round(eff_gbps / stream_gbps, 3),
+        "note": "memory-bound kernel class (CG iteration) at a true-HBM "
+                "size; the 2048^2 solver rows are cache-resident/VPU-bound "
+                "(effective rates exceed HBM bandwidth -- RESULTS.md)",
+    }
+
+
 def time_steps(p, k_big, k_small):
     F, U = bt.make_initial_fields(p, bt.InitialConditions(
         circle_center=(p.L0 / 2, p.L0 / 2), circle_radius=p.L0 / 80))
@@ -205,6 +290,26 @@ def main():
         out["semi_implicit_vs_baseline"] = round(4.26 / (si_sec * 1e3), 3)
     except Exception as e:  # noqa: BLE001 - headline metric must still print
         out["secondary_error"] = str(e)[:120]
+
+    if on_tpu:
+        # the north-star number (BASELINE.md: >=80% of HBM roofline)
+        try:
+            out["roofline"] = roofline_cg()
+        except Exception as e:  # noqa: BLE001
+            out["roofline_error"] = str(e)[:120]
+
+        # equal-precision (float64-grade) Euler via the df64 pair kernels
+        # (A100 native-f64 Euler at 2048^2: 0.4375 ms/step).  x64 flips
+        # LAST: it forces retraces of later f32 jits in this process.
+        try:
+            jax.config.update("jax_enable_x64", True)
+            e64_sec = time_steps(
+                p.replace(solver=bt.SolverType.EXPLICIT_EULER,
+                          dtype="float64"), 1296, k_small)
+            out["euler_f64_step_ms"] = round(e64_sec * 1e3, 4)
+            out["euler_f64_vs_baseline"] = round(0.4375 / (e64_sec * 1e3), 3)
+        except Exception as e:  # noqa: BLE001
+            out["euler_f64_error"] = str(e)[:120]
 
     print(json.dumps(out))
 

@@ -30,6 +30,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(items):
+    # dd_compile_heavy implies slow: a CLI `-m 'not slow'` REPLACES the
+    # addopts `-m 'not dd_compile_heavy'` (pytest keeps only the last -m),
+    # which would silently pull the ~65-min df64 interpret compiles into
+    # the fast subset.  Tagging them slow here makes every marker
+    # combination exclude them unless dd_compile_heavy is requested
+    # explicitly.
+    for item in items:
+        if "dd_compile_heavy" in item.keywords:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
