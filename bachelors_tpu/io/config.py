@@ -334,18 +334,7 @@ def parse_config(text: str, overrides: Optional[List[str]] = None) -> SimConfig:
         do_stats_step_residual=cfg.collect_step_residual,
     )
 
-    if (cfg.params.dtype == "float64" and cfg.shards_x > 1
-            and cfg.params.backend != "xla"):
-        # the df64 fused kernels ship y-mesh ghost slabs only
-        # (`ops.pallas_dd.wants_dd_sharded`); an x-sharded f64 run rides
-        # XLA's per-op f64 emulation, measured 3-196x slower than the dd
-        # path (RESULTS.md) -- warn loudly at config time
-        log.warn(
-            f"[tpu] dtype=float64 with shards_x={cfg.shards_x}: the df64 "
-            "fused kernels support y-sharded meshes only; this run falls "
-            "back to XLA's per-op f64 software emulation (3-196x slower). "
-            f"Prefer shards_y={cfg.shards_x * cfg.shards_y} shards_x=1.")
-    elif cfg.params.backend == "auto":
+    if cfg.params.backend == "auto":
         # backend=auto silently resolves to the XLA path on TPU when the
         # config does not tile for the fused kernels
         # (`ops.rhs._resolve_backend`) -- running at a fraction of the

@@ -26,12 +26,12 @@ angle-addition recurrence -- in f32 under the reference's cosf
 semantics, in full pair precision in strict mode); the corrector-guess
 RHS (df64 Karp-Markstein division); the corrector loop and gamma != 1
 (extra heat-rhs pair through `heat_residual_dd` + the exact Euler pair
-rebase in `solvers.explicit.euler_step_based`); y-sharded meshes via
-(hi, lo) ghost slabs for every solver family incl. the semi-implicit
-prepare + ghost-row residual kernels.  Fallbacks to the XLA f64 path:
-x-sharded/2D
-meshes (config-time warning, `io/config.py`) and the differentiable
-path.  Reference parity: the solvers dispatched here implement
+rebase in `solvers.explicit.euler_step_based`); y-, x- and 2D-sharded
+meshes via (hi, lo) ghost slabs / ghost columns for every solver family
+incl. the semi-implicit prepare + the sharded residual kernels (2D
+corner data rides a two-phase exchange, see `ghost_slabs_dd`).  The only
+fallback to the XLA f64 path is the differentiable (adjoint) path.
+Reference parity: the solvers dispatched here implement
 `simulation.cu:283-1008` at Real=double.
 """
 from __future__ import annotations
@@ -118,11 +118,11 @@ def wants_dd_si(p: SimParams, topo, ny_local: int = 0,
     corrector loop (`simulation.cu:928-1008`) and gamma != 1
     (`simulation.cu:893-899`) ride the extra heat-rhs pair
     (U_base - U) + dt*(1-gamma)*U_base, assembled exactly in XLA f64 and
-    threaded through `heat_residual_dd`.  On y-sharded meshes the prepare
-    rides the ghost-slab machinery and the residual kernels exchange
-    ghost rows of e (`*_dd_sharded` twins; pass the local shard shape).
-    Only the differentiable path (adjoint XLA solves) falls back to
-    XLA f64."""
+    threaded through `heat_residual_dd`.  On sharded meshes (y, x or 2D)
+    the prepare rides the ghost-slab/column machinery and the residual
+    kernels exchange ghost rows/columns of e (`*_dd_sharded` twins; pass
+    the local shard shape).  Only the differentiable path (adjoint XLA
+    solves) falls back to XLA f64."""
     if p.differentiable:
         return False
     if wants_dd(p, topo):
@@ -265,7 +265,7 @@ def _shift_x_dd(A, bc: BoundaryType, dv):
 
 
 def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
-                             ghost: bool = False):
+                             ghost: bool = False, ghost_x: bool = False):
     """df64 twin of `pallas_rhs._make_fullstep_kernel` + the fused
     multi-step Euler mode.
 
@@ -284,11 +284,18 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
                       lo planes feed the pair-precision refinement
                       residual (`cross_residual_dd`).
 
-    Ref layout: scal (1, 6|8) SMEM [d_hi, d_lo, fu_hi, fu_lo, tau_hi,
-    tau_lo (+ shard_first, shard_last when ghost)]; 12 field blocks (hi
-    planes then lo planes, each as center + 8-row halo groups); ghost
-    mode adds 8 neighbor-slab blocks; outputs [Fh, Uh, Fl, Ul
-    (+ errF, errU)] (si: [r0h, uth, r0l, utl]).
+    Ref layout: scal (1, 6..10) SMEM [d_hi, d_lo, fu_hi, fu_lo, tau_hi,
+    tau_lo (+ shard_first, shard_last when ghost) (+ shard_x_first,
+    shard_x_last when ghost_x)]; 12 field blocks (hi planes then lo
+    planes, each as center + 8-row halo groups); ghost mode adds 8
+    neighbor-slab blocks; ghost_x mode adds 24 ghost-COLUMN blocks (8
+    (ny, 128) arrays, each as center + 8-row halo groups -- the x-sharded
+    twin of the slabs: the kernel concatenates them on both sides of the
+    center block, so the stage chain reads the x-neighbor's 8 edge
+    columns at depth <= 8 exactly like the y slabs; on 2D meshes the y
+    slabs are width nx+256 and carry the diagonal neighbor's corner data,
+    see ``ghost_slabs_dd``); outputs [Fh, Uh, Fl, Ul (+ errF, errU)]
+    (si: [r0h, uth, r0l, utl]).
     """
     assert scheme in ("euler", "rk4", "rkm", "si")
     if not 1 <= T <= 8:
@@ -307,28 +314,58 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
         if ghost:
             (gFh_lo, gFh_hi, gUh_lo, gUh_hi,
              gFl_lo, gFl_hi, gUl_lo, gUl_hi) = rest[:8]
-            outs = rest[8:]
-        else:
-            outs = rest
+            rest = rest[8:]
+        if ghost_x:
+            gcol_blocks = rest[:24]
+            rest = rest[24:]
+        outs = rest
         d = (scal[0, 0], scal[0, 1])
         fu = (scal[0, 2], scal[0, 3])
         tau = (scal[0, 4], scal[0, 5])
+        i_flag = 6
         if ghost:
             # global-domain-edge flags (from lax.axis_index, via SMEM)
-            shard_first = scal[0, 6] > 0.5
-            shard_last = scal[0, 7] > 0.5
+            shard_first = scal[0, i_flag] > 0.5
+            shard_last = scal[0, i_flag + 1] > 0.5
+            i_flag += 2
+        if ghost_x:
+            shard_x_first = scal[0, i_flag] > 0.5
+            shard_x_last = scal[0, i_flag + 1] > 0.5
 
         extF = (jnp.concatenate([Fhs[:], Fhc[:], Fhn[:]], axis=0),
                 jnp.concatenate([Fls[:], Flc[:], Fln[:]], axis=0))
         extU = (jnp.concatenate([Uhs[:], Uhc[:], Uhn[:]], axis=0),
                 jnp.concatenate([Uls[:], Ulc[:], Uln[:]], axis=0))
+
+        if ghost_x:
+            # extend the block in x with the ghost-column arrays (west
+            # data in lanes 120..127, east in lanes 0..7 -- adjacent to
+            # the center after the concat).  Their own 8-row halo groups
+            # carry the x-neighbor's y-halo rows (same index maps as the
+            # fields); at y-shard-edge programs the spliced slabs below
+            # overwrite those rows with true (corner-correct) data.
+            def gext(k):
+                c, n, s = gcol_blocks[3 * k], gcol_blocks[3 * k + 1], \
+                    gcol_blocks[3 * k + 2]
+                return jnp.concatenate([s[:], c[:], n[:]], axis=0)
+
+            wFh, eFh, wUh, eUh, wFl, eFl, wUl, eUl = (
+                gext(k) for k in range(8))
+            extF = (jnp.concatenate([wFh, extF[0], eFh], axis=1),
+                    jnp.concatenate([wFl, extF[1], eFl], axis=1))
+            extU = (jnp.concatenate([wUh, extU[0], eUh], axis=1),
+                    jnp.concatenate([wUl, extU[1], eUl], axis=1))
+
         tye = extF[0].shape[0]
+        nxe = extF[0].shape[1]
         ty = outs[0].shape[0]
+        nx = outs[0].shape[1]
+        c0 = 128 if ghost_x else 0
 
         if ghost:
             # neighbor-shard slabs replace the (wrong) same-shard halo rows
             # at shard-edge programs, per pair component
-            # (`pallas_rhs._splice_slabs`)
+            # (`pallas_rhs._splice_slabs`); width nxe on 2D meshes
             from .pallas_rhs import _splice_slabs
 
             extF = (_splice_slabs(extF[0], gFh_lo, gFh_hi),
@@ -363,34 +400,71 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
             l = jnp.where(hi_mask, hi_img[1], l)
             return (h, l)
 
+        def fix_x(ext, bc, dv):
+            # x twin of `fix`, applied AFTER it (matching the y-then-x pad
+            # order of `topo.pad`, which decides the corner images): at
+            # global-x-edge shards overwrite the whole 128-lane ghost
+            # region with the BC image of the adjacent real column (clamp
+            # semantics / Dirichlet mirror); interior shards and periodic
+            # keep the ring-ppermuted neighbor lanes
+            if not ghost_x or bc == BoundaryType.PERIODIC:
+                return ext
+            cols = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 1)
+            w_img = (ext[0][:, 128:129], ext[1][:, 128:129])
+            e_img = (ext[0][:, nxe - 129:nxe - 128],
+                     ext[1][:, nxe - 129:nxe - 128])
+            if bc == BoundaryType.DIRICHLET:
+                tw = dd.mul_pow2(dv, 2.0)
+                w_img = dd.sub(tw, w_img)
+                e_img = dd.sub(tw, e_img)
+            w_mask = jnp.logical_and(cols < 128, shard_x_first)
+            e_mask = jnp.logical_and(cols >= nxe - 128, shard_x_last)
+            h = jnp.where(w_mask, w_img[0], ext[0])
+            h = jnp.where(e_mask, e_img[0], h)
+            l = jnp.where(w_mask, w_img[1], ext[1])
+            l = jnp.where(e_mask, e_img[1], l)
+            return (h, l)
+
+        def out_slice(a):
+            return a[8:8 + ty, 128:128 + nx] if ghost_x else a[8:8 + ty]
+
         def rhs_at(bF, bU, dv):
             F_N = (_roll(bF[0], -1, 0), _roll(bF[1], -1, 0))
             F_S = (_roll(bF[0], 1, 0), _roll(bF[1], 1, 0))
             U_N = (_roll(bU[0], -1, 0), _roll(bU[1], -1, 0))
             U_S = (_roll(bU[0], 1, 0), _roll(bU[1], 1, 0))
-            F_E, F_W = _shift_x_dd(bF, f_bc, dv)
-            U_E, U_W = _shift_x_dd(bU, u_bc, dv)
+            if ghost_x:
+                # ghost lanes carry the true x-neighbors (or, at global-x
+                # edges, the per-stage fix_x images): plain rotates, no
+                # edge-column fixup
+                F_E = (_roll(bF[0], -1, 1), _roll(bF[1], -1, 1))
+                F_W = (_roll(bF[0], 1, 1), _roll(bF[1], 1, 1))
+                U_E = (_roll(bU[0], -1, 1), _roll(bU[1], -1, 1))
+                U_W = (_roll(bU[0], 1, 1), _roll(bU[1], 1, 1))
+            else:
+                F_E, F_W = _shift_x_dd(bF, f_bc, dv)
+                U_E, U_W = _shift_x_dd(bU, u_bc, dv)
             return phys(bF, F_N, F_S, F_E, F_W, bU, U_N, U_S, U_E, U_W, fu)
 
         if scheme == "euler":
             bF, bU = extF, extU
             for _ in range(T):
-                bF = fix(bF, f_bc, d)
-                bU = fix(bU, u_bc, d)
+                bF = fix_x(fix(bF, f_bc, d), f_bc, d)
+                bU = fix_x(fix(bU, u_bc, d), u_bc, d)
                 kF, kU = rhs_at(bF, bU, d)
                 bF = dd.add(bF, dd.mul_const(kF, p.dt))
                 bU = dd.add(bU, dd.mul_const(kU, p.dt))
-            outs[0][:] = bF[0][8:8 + ty]
-            outs[1][:] = bU[0][8:8 + ty]
-            outs[2][:] = bF[1][8:8 + ty]
-            outs[3][:] = bU[1][8:8 + ty]
+            outs[0][:] = out_slice(bF[0])
+            outs[1][:] = out_slice(bU[0])
+            outs[2][:] = out_slice(bF[1])
+            outs[3][:] = out_slice(bU[1])
             return
 
         if scheme == "si":
             from .pallas_rhs import si_s_varies
 
-            bF = fix(extF, f_bc, d)
-            bU = fix(extU, u_bc, d)
+            bF = fix_x(fix(extF, f_bc, d), f_bc, d)
+            bU = fix_x(fix(extU, u_bc, d), u_bc, d)
             dt_F, dt_U = rhs_at(bF, bU, d)
             # r0_F = dt * dt_F exactly, in BOTH prepare variants
             # (`allen_cahn.semi_implicit_prepare`: the guess variant's
@@ -403,10 +477,10 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
             r0 = dd.mul_const(dt_F, p.dt)
             lap_U = dd.sub(dt_U, dd.mul_const(dt_F, p.L))
             ut = dd.mul_const(lap_U, p.dt)
-            outs[0][:] = r0[0][8:8 + ty]
-            outs[1][:] = ut[0][8:8 + ty]
-            outs[2][:] = r0[1][8:8 + ty]
-            outs[3][:] = ut[1][8:8 + ty]
+            outs[0][:] = out_slice(r0[0])
+            outs[1][:] = out_slice(ut[0])
+            outs[2][:] = out_slice(r0[1])
+            outs[3][:] = out_slice(ut[1])
             if si_s_varies(p):
                 # per-cell matvec coefficient s = gamma (/corr) * g * k1f
                 # (`semi_implicit_prepare`); f32 like the f32 path's map
@@ -416,7 +490,11 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
                 # same map, so the solved system is self-consistent)
                 from .pallas_rhs import _g_theta_vpu
 
-                F_E, F_W = _shift_x_dd(bF, f_bc, d)
+                if ghost_x:
+                    F_E = (_roll(bF[0], -1, 1), _roll(bF[1], -1, 1))
+                    F_W = (_roll(bF[0], 1, 1), _roll(bF[1], 1, 1))
+                else:
+                    F_E, F_W = _shift_x_dd(bF, f_bc, d)
                 F_N = _roll(bF[0], -1, 0)
                 F_S = _roll(bF[0], 1, 0)
                 gxh = (F_E[0] - F_W[0]) * jnp.float32(1.0 / (2 * p.dx))
@@ -429,11 +507,11 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
                 if p.do_corrector_guess:
                     k2_32 = gn * jnp.float32(p.b * p.beta / p.alpha)
                     s32 = s32 / (1 + k2_32 * jnp.float32(p.dt * p.L))
-                outs[4][:] = s32[8:8 + ty]
+                outs[4][:] = out_slice(s32)
             return
 
-        xF = fix(extF, f_bc, d)
-        xU = fix(extU, u_bc, d)
+        xF = fix_x(fix(extF, f_bc, d), f_bc, d)
+        xU = fix_x(fix(extU, u_bc, d), u_bc, d)
 
         def stage(ks, ws):
             """k = f(x + sum_i w_i k_i), ws df64 scalars; ghost fix at the
@@ -445,8 +523,8 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
                 bU = dd.add(bU, dd.mul(kU_i, w))
                 wsum = dd.add(wsum, w)
             dv = dd.mul(d, wsum)
-            bF = fix(bF, f_bc, dv)
-            bU = fix(bU, u_bc, dv)
+            bF = fix_x(fix(bF, f_bc, dv), f_bc, dv)
+            bU = fix_x(fix(bU, u_bc, dv), u_bc, dv)
             return rhs_at(bF, bU, dv)
 
         k1 = stage([], [])
@@ -479,7 +557,6 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
             acc_U = dd.add(dd.add(k1[1], dd.mul_pow2(k4[1], 4.0)), k5[1])
             nF = dd.add(xF, dd.mul(acc_F, c6))
             nU = dd.add(xU, dd.mul(acc_U, c6))
-            mid = slice(8, 8 + ty)
 
             def comb(c1, c3, c4, c5):
                 # 0.2c1 - 0.9c3 + 0.8c4 - 0.1c5 in df64: the catastrophic
@@ -490,58 +567,78 @@ def _make_fullstep_kernel_dd(p: SimParams, scheme: str, T: int = 1,
                                      dd.mul_const(c5, 0.1)))
                 return jnp.abs(e[0] + e[1])
 
-            eF = jnp.max(comb(k1[0], k3[0], k4[0], k5[0])[mid])
-            eU = jnp.max(comb(k1[1], k3[1], k4[1], k5[1])[mid])
+            # error maxima over the CENTER rows/columns only (halo rows
+            # belong to neighbor blocks; ghost lanes to neighbor shards)
+            eF = jnp.max(out_slice(comb(k1[0], k3[0], k4[0], k5[0])))
+            eU = jnp.max(out_slice(comb(k1[1], k3[1], k4[1], k5[1])))
             outs[4][:] = jnp.full(outs[4].shape, eF)
             outs[5][:] = jnp.full(outs[5].shape, eU)
 
-        outs[0][:] = nF[0][8:8 + ty]
-        outs[1][:] = nU[0][8:8 + ty]
-        outs[2][:] = nF[1][8:8 + ty]
-        outs[3][:] = nU[1][8:8 + ty]
+        outs[0][:] = out_slice(nF[0])
+        outs[1][:] = out_slice(nU[0])
+        outs[2][:] = out_slice(nF[1])
+        outs[3][:] = out_slice(nU[1])
 
     return kernel
 
 
 def _fullstep_call_dd(p: SimParams, scheme: str, interpret: bool, T: int,
-                      Fh, Fl, Uh, Ul, scal, ghosts=None):
+                      Fh, Fl, Uh, Ul, scal, ghosts=None, gcols=None):
     # interpret mode also goes through jit: eager op-by-op execution of
     # the interpreter's df64 stage chains takes minutes per call at test
     # sizes, and with the EFT guards (df64.eft_guards) the compiled
     # XLA:CPU path is exact
     return _fullstep_jit_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal,
-                            ghosts)
+                            ghosts, gcols)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "scheme", "interpret", "T"))
 def _fullstep_jit_dd(p: SimParams, scheme: str, interpret: bool, T: int,
-                     Fh, Fl, Uh, Ul, scal, ghosts=None):
+                     Fh, Fl, Uh, Ul, scal, ghosts=None, gcols=None):
     return _fullstep_impl_dd(p, scheme, interpret, T, Fh, Fl, Uh, Ul, scal,
-                             ghosts)
+                             ghosts, gcols)
 
 
 def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
-                      Fh, Fl, Uh, Ul, scal, ghosts=None):
+                      Fh, Fl, Uh, Ul, scal, ghosts=None, gcols=None):
     ny, nx = Fh.shape  # local shard shape (== p.ny/p.nx single-chip)
-    ty = _tile_dd(ny, nx)
-    grid = ny // ty
     ghost = ghosts is not None
+    ghost_x = gcols is not None
+    nxe = nx + 256 if ghost_x else nx  # in-kernel extended width
+    ty = _tile_dd(ny, nxe)
+    grid = ny // ty
     with_err = scheme == "rkm"
-    from .pallas_rhs import si_s_varies
+    from .pallas_rhs import make_halo_row_maps, si_s_varies
 
     n_out = 5 if (scheme == "si" and si_s_varies(p)) else 4
+    n_scal = 6 + (2 if ghost else 0) + (2 if ghost_x else 0)
     # the spec view carries the LOCAL shape; physics constants keep the
     # global p (dx/dy derive from the global grid)
     pv = p if (ny == p.ny and nx == p.nx) else p.replace(ny=ny, nx=nx)
     in_specs, out_specs = _specs(pv, ty, 2, with_err=with_err, n_out=n_out,
-                                 n_scal=8 if ghost else 6, ghost=ghost)
+                                 n_scal=n_scal)
     if ghost:
-        # _specs appends 4 ghost-slab specs; the dd pair needs 4 more
-        # (hi slabs then lo slabs)
-        for _ in range(4):
-            in_specs.append(pl.BlockSpec((8, nx), lambda i: (0, 0),
+        # 8 ghost-slab specs (hi-plane lo/hi pairs then lo-plane); width
+        # nxe on 2D meshes, where the slabs are x-extended (corner data)
+        for _ in range(8):
+            in_specs.append(pl.BlockSpec((8, nxe), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
-    kernel = _make_fullstep_kernel_dd(p, scheme, T, ghost=ghost)
+    if ghost_x:
+        # each of the 8 (ny, 128) ghost-column arrays rides the same
+        # center + halo-row-group machinery as the fields (its y-halo
+        # rows are needed by the stage chain), with the BC-matched index
+        # maps; order (gFh_w, gFh_e, gUh_w, gUh_e, gFl_w, gFl_e, gUl_w,
+        # gUl_e) -- see ghost_cols_dd
+        center = lambda i: (i, 0)
+        for bc in (p.Phi_boundary, p.Phi_boundary,
+                   p.T_boundary, p.T_boundary) * 2:
+            north, south = make_halo_row_maps(ny, ty, bc)
+            in_specs += [
+                pl.BlockSpec((ty, 128), center, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), north, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), south, memory_space=pltpu.VMEM)]
+    kernel = _make_fullstep_kernel_dd(p, scheme, T, ghost=ghost,
+                                      ghost_x=ghost_x)
     shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
     out_shape = [shape] * n_out
     if with_err:
@@ -551,6 +648,8 @@ def _fullstep_impl_dd(p: SimParams, scheme: str, interpret: bool, T: int,
     args = (scal, Fh, Fh, Fh, Uh, Uh, Uh, Fl, Fl, Fl, Ul, Ul, Ul)
     if ghost:
         args += tuple(ghosts)
+    if ghost_x:
+        args += tuple(g for g in gcols for _ in range(3))
     # interpret mode executes on XLA:CPU, whose LLVM codegen contracts
     # mul+add into FMA and silently breaks the df64 error-free
     # transforms; trace with the contraction guards there (off on the
@@ -645,7 +744,8 @@ def si_prepare_dd_pair(pair, p: SimParams, dirichlet_value=0.0,
 def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
                                 Y: float, heat_L=None, aniso: bool = False,
                                 has_extra: bool = False,
-                                ghost: bool = False):
+                                ghost: bool = False,
+                                ghost_x: bool = False):
     """r1 = r0 - A e in df64, A the constant cross operator
     (`ops.stencil.cross_matvec` semantics incl. its topo.pad ghosts with
     dirichlet_value=0: Neumann ghost=edge, Dirichlet ghost=-edge).
@@ -668,6 +768,11 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
     with the global-edge BC image already applied outside) replace the
     same-shard halo rows the stencil reads at shard-edge programs; the
     in-kernel row BC is skipped entirely.
+
+    ghost_x (x-sharded meshes): two (ny, 128) ghost-column arrays from
+    `_ghost_cols_e` (west data in lane 127, east in lane 0, global-edge
+    BC image already applied outside, each with its own halo row groups)
+    are concatenated onto the block; the in-kernel column BC is skipped.
     """
     def kernel(*refs):
         x1 = x2 = None
@@ -682,10 +787,19 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
             if has_extra:
                 x1, x2 = rest.pop(0), rest.pop(0)
         if ghost:
-            g_lo, g_hi = rest
+            g_lo, g_hi = rest[:2]
+            rest = rest[2:]
         ext = jnp.concatenate([es[:], ec[:], en[:]], axis=0)
+        if ghost_x:
+            (wc, wn, ws, ecol, enx, esx) = rest
+            wext = jnp.concatenate([ws[:], wc[:], wn[:]], axis=0)
+            eext = jnp.concatenate([esx[:], ecol[:], enx[:]], axis=0)
+            ext = jnp.concatenate([wext, ext, eext], axis=1)
         tye = ext.shape[0]
         ty = out.shape[0]
+        nxc = out.shape[1]
+        ctr = (lambda a: a[8:8 + ty, 128:128 + nxc]) if ghost_x \
+            else (lambda a: a[8:8 + ty])
         if ghost:
             # the 1-point stencil reads only ext[7] (S of the first center
             # row) and ext[tye-8] (N of the last); patch those from the
@@ -713,7 +827,9 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
         S = _roll(ext, 1, 0)
         E = _roll(ext, -1, 1)
         W = _roll(ext, 1, 1)
-        if bc != BoundaryType.PERIODIC:
+        if ghost_x:
+            pass  # ghost lanes carry the true x-neighbors (BC pre-applied)
+        elif bc != BoundaryType.PERIODIC:
             img = -ext if bc == BoundaryType.DIRICHLET else ext
             nx = ext.shape[1]
             E = jnp.where(_col_mask(ext, nx - 1), img, E)
@@ -728,15 +844,15 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
                                   dd.mul_const(dd.add((E, zero), (W, zero)),
                                                X)),
                            dd.mul_const(dd.add((N, zero), (S, zero)), Y))
-            sc = cross[0][8:8 + ty], cross[1][8:8 + ty]
-            Ae = dd.add((ext[8:8 + ty], zero[8:8 + ty]),
+            sc = ctr(cross[0]), ctr(cross[1])
+            Ae = dd.add((ctr(ext), ctr(zero)),
                         dd.mul_f32(sc, s_ref[:]))
         else:
             full = dd.add(dd.add(dd.mul_const((ext, zero), C),
                                  dd.mul_const(dd.add((E, zero), (W, zero)),
                                               X)),
                           dd.mul_const(dd.add((N, zero), (S, zero)), Y))
-            Ae = (full[0][8:8 + ty], full[1][8:8 + ty])
+            Ae = (ctr(full[0]), ctr(full[1]))
         r0 = (r0h[:], r0l[:])
         if heat_L is not None:
             # r0 := L * (e1_F + e2_F pair) + uterm pair
@@ -756,10 +872,11 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
                                              "nx"))
 def _cross_residual_call(bc, C, X, Y, heat_L, aniso, interpret, ny, nx, e,
                          r0h, r0l, f1, f2, x1=None, x2=None,
-                         g_lo=None, g_hi=None):
+                         g_lo=None, g_hi=None, g_w=None, g_e=None):
     from .pallas_rhs import make_halo_row_maps
 
-    ty = _tile_dd(ny, nx)
+    ghost_x = g_w is not None
+    ty = _tile_dd(ny, nx + 256 if ghost_x else nx)
     grid = ny // ty
     north, south = make_halo_row_maps(ny, ty, bc)
     center = lambda i: (i, 0)
@@ -781,12 +898,25 @@ def _cross_residual_call(bc, C, X, Y, heat_L, aniso, interpret, ny, nx, e,
             in_specs += [cspec, cspec]
             args += [x1, x2]
     if ghost:
-        gspec = pl.BlockSpec((8, nx), lambda i: (0, 0),
+        nxe = nx + 256 if ghost_x else nx
+        if ghost_x:
+            # pad the (8, nx) ghost rows to the extended width (the 1-deep
+            # stencil never reads their ghost-lane corners)
+            pad = ((0, 0), (128, 128))
+            g_lo, g_hi = jnp.pad(g_lo, pad), jnp.pad(g_hi, pad)
+        gspec = pl.BlockSpec((8, nxe), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
         in_specs += [gspec, gspec]
         args += [g_lo, g_hi]
+    if ghost_x:
+        gxspec = [pl.BlockSpec((ty, 128), center, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 128), north, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 128), south, memory_space=pltpu.VMEM)]
+        in_specs += gxspec + gxspec
+        args += [g_w, g_w, g_w, g_e, g_e, g_e]
     kernel = _make_cross_residual_kernel(bc, C, X, Y, heat_L, aniso,
-                                         has_extra=has_extra, ghost=ghost)
+                                         has_extra=has_extra, ghost=ghost,
+                                         ghost_x=ghost_x)
     with jax.enable_x64(False), dd.eft_guards(interpret):
         return pl.pallas_call(
             kernel,
@@ -842,79 +972,125 @@ def _ghost_rows_e(e, bc: BoundaryType, axis_y: str):
     return _ghost_rows([(e, e)], [1.0], bc, 0, axis_y, 0.0)
 
 
-def cross_residual_dd_sharded(r0_pair, e, A, axis_y, interpret=False):
+def _ghost_cols_e(e, bc: BoundaryType, axis_x: str):
+    """Ghost COLUMNS of a single f32 plane for the x-sharded residual
+    kernels (matvec pad convention, dirichlet_value=0): returns (g_w, g_e)
+    of shape (ny, 128) with the west neighbor's edge column in lane 127
+    and the east neighbor's in lane 0 -- adjacent to the center after the
+    in-kernel concat."""
+    from jax import lax
+
+    n = lax.axis_size(axis_x)
+    idx = lax.axis_index(axis_x)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    g_w = lax.ppermute(e[:, -1:], axis_x, fwd)
+    g_e = lax.ppermute(e[:, :1], axis_x, bwd)
+    if bc != BoundaryType.PERIODIC:
+        sign = -1.0 if bc == BoundaryType.DIRICHLET else 1.0
+        g_w = jnp.where(idx == 0, sign * e[:, :1], g_w)
+        g_e = jnp.where(idx == n - 1, sign * e[:, -1:], g_e)
+    return jnp.pad(g_w, ((0, 0), (127, 0))), jnp.pad(g_e, ((0, 0), (0, 127)))
+
+
+def _ghost_e_kw(e, bc: BoundaryType, axis_y, axis_x):
+    kw = {}
+    if axis_y is not None:
+        kw["g_lo"], kw["g_hi"] = _ghost_rows_e(e, bc, axis_y)
+    if axis_x is not None:
+        kw["g_w"], kw["g_e"] = _ghost_cols_e(e, bc, axis_x)
+    return kw
+
+
+def cross_residual_dd_sharded(r0_pair, e, A, axis_y, interpret=False,
+                              axis_x=None):
     """Sharded twin of `cross_residual_dd`: e's shard-edge halo rows
-    arrive over ICI (one ppermute pair), global edges keep the BC image."""
+    and/or columns arrive over ICI (one ppermute pair per sharded axis),
+    global edges keep the BC image."""
     ny, nx = e.shape
-    g_lo, g_hi = _ghost_rows_e(e, A.boundary, axis_y)
     return _cross_residual_call(A.boundary, float(A.C), float(A.X),
                                 float(A.Y), None, False,
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, r0_pair[0], r0_pair[1], e, e,
-                                g_lo=g_lo, g_hi=g_hi)
+                                **_ghost_e_kw(e, A.boundary, axis_y, axis_x))
 
 
-def aniso_residual_dd_sharded(r0_pair, e, A, s, axis_y, interpret=False):
+def aniso_residual_dd_sharded(r0_pair, e, A, s, axis_y, interpret=False,
+                              axis_x=None):
     """Sharded twin of `aniso_residual_dd` (per-cell s map is pointwise,
     so only e needs the halo exchange)."""
     ny, nx = e.shape
-    g_lo, g_hi = _ghost_rows_e(e, A.boundary, axis_y)
     return _cross_residual_call(A.boundary, float(A.Cm1), float(A.X),
                                 float(A.Y), None, True,
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, r0_pair[0], r0_pair[1], s, s,
-                                g_lo=g_lo, g_hi=g_hi)
+                                **_ghost_e_kw(e, A.boundary, axis_y, axis_x))
 
 
 def heat_residual_dd_sharded(ut_pair, eF_pair, e, A, L, axis_y,
-                             extra_pair=None, interpret=False):
+                             extra_pair=None, interpret=False, axis_x=None):
     """Sharded twin of `heat_residual_dd` (uterm/e_F/extra planes are
     pointwise; only e needs the halo exchange)."""
     ny, nx = e.shape
     x1, x2 = extra_pair if extra_pair is not None else (None, None)
-    g_lo, g_hi = _ghost_rows_e(e, A.boundary, axis_y)
     return _cross_residual_call(A.boundary, float(A.C), float(A.X),
                                 float(A.Y), float(L), False,
                                 interpret or FORCE_INTERPRET, ny, nx,
                                 e, ut_pair[0], ut_pair[1],
                                 eF_pair[0], eF_pair[1], x1, x2,
-                                g_lo=g_lo, g_hi=g_hi)
+                                **_ghost_e_kw(e, A.boundary, axis_y, axis_x))
 
 
-def supports_dd_sharded(p: SimParams, ny_local: int, nx_local: int = 0) -> bool:
-    """Ghost-slab df64 whole-integrator feasibility on a y-sharded local
-    shard (x unsharded, like the f32 fullstep slabs)."""
+def supports_dd_sharded(p: SimParams, ny_local: int, nx_local: int = 0,
+                        x_sharded: bool = False) -> bool:
+    """Ghost-slab/ghost-column df64 whole-integrator feasibility on a
+    local shard (x-sharded blocks run 256 lanes wider in-kernel)."""
     nx_local = nx_local or p.nx
     if not supports_dd(p.replace(ny=ny_local, nx=nx_local)):
         return False
-    return _tile_dd(ny_local, nx_local) >= 8
+    nxe = nx_local + 256 if x_sharded else nx_local
+    return _tile_dd(ny_local, nxe) >= 8
 
 
 def wants_dd_sharded(p: SimParams, topo, ny_local: int,
                      nx_local: int = 0) -> bool:
-    """Gate for the ghost-slab df64 kernels on a 1D y-mesh."""
+    """Gate for the ghost-slab/ghost-column df64 kernels on y-, x- and 2D
+    meshes."""
     from .rhs import _on_tpu_or_forced
 
-    return (p.backend != "xla" and topo.is_sharded and topo.axis_x is None
-            and topo.axis_y is not None
-            and supports_dd_sharded(p, ny_local, nx_local)
+    return (p.backend != "xla" and topo.is_sharded
+            and supports_dd_sharded(p, ny_local, nx_local,
+                                    x_sharded=topo.axis_x is not None)
             and _on_tpu_or_forced(p))
 
 
-def ghost_slabs_dd(pair, axis_y: str):
+def ghost_slabs_dd(pair, axis_y: str, gcols=None):
     """Exchange the 8-row edge slabs of all four pair planes over ICI.
 
     Mirrors `pallas_rhs._ghost_slabs` but stacks (hi, lo) into ONE
     (16, nx) message per field per direction, so the collective count per
     step equals the f32 path's (4 ppermutes) at 2x the bytes.  Returns 8
     (8, nx) slabs ordered (gFh_lo, gFh_hi, gUh_lo, gUh_hi, gFl_lo,
-    gFl_hi, gUl_lo, gUl_hi) -- the kernel's ghost operand order."""
+    gFl_hi, gUl_lo, gUl_hi) -- the kernel's ghost operand order.
+
+    2D meshes (``gcols`` from an already-completed `ghost_cols_dd`
+    exchange): each slab is pre-extended in x with the ghost-column lanes
+    BEFORE the y-ppermute, so the received (8, nx+256) slab carries the
+    DIAGONAL neighbor's corner data -- the stage chain reads corners at
+    depth > 1, which single-phase exchanges cannot supply."""
     from jax import lax
 
     Fh, Fl, Uh, Ul = pair
     n = lax.axis_size(axis_y)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
+    if gcols is not None:
+        gFh_w, gFh_e, gUh_w, gUh_e, gFl_w, gFl_e, gUl_w, gUl_e = gcols
+        xext = lambda P, w, e: jnp.concatenate([w, P, e], axis=1)
+        Fh = xext(Fh, gFh_w, gFh_e)
+        Fl = xext(Fl, gFl_w, gFl_e)
+        Uh = xext(Uh, gUh_w, gUh_e)
+        Ul = xext(Ul, gUl_w, gUl_e)
 
     def ex(h, l):
         lo = lax.ppermute(jnp.concatenate([h[-8:], l[-8:]], axis=0),
@@ -928,6 +1104,53 @@ def ghost_slabs_dd(pair, axis_y: str):
     return (gFh_lo, gFh_hi, gUh_lo, gUh_hi, gFl_lo, gFl_hi, gUl_lo, gUl_hi)
 
 
+def ghost_cols_dd(pair, axis_x: str):
+    """Exchange the 8-COLUMN edge slabs of all four pair planes over ICI
+    (the x-sharded twin of `ghost_slabs_dd`): one (ny, 16) message per
+    field per direction, hi and lo lanes stacked.  Returns 8 (ny, 128)
+    arrays ordered (gFh_w, gFh_e, gUh_w, gUh_e, gFl_w, gFl_e, gUl_w,
+    gUl_e): west arrays carry the x-predecessor's LAST 8 columns in lanes
+    120..127 and east arrays the x-successor's FIRST 8 columns in lanes
+    0..7, so both sit adjacent to the center block after the in-kernel
+    concat; the remaining lanes are zero filler (> stage-depth away from
+    any written cell).  Global-x-edge BC images are applied IN-KERNEL per
+    stage (`fix_x`), like the y slabs."""
+    from jax import lax
+
+    Fh, Fl, Uh, Ul = pair
+    n = lax.axis_size(axis_x)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def ex(h, l):
+        w = lax.ppermute(jnp.concatenate([h[:, -8:], l[:, -8:]], axis=1),
+                         axis_x, fwd)
+        e = lax.ppermute(jnp.concatenate([h[:, :8], l[:, :8]], axis=1),
+                         axis_x, bwd)
+        pw, pe = ((0, 0), (120, 0)), ((0, 0), (0, 120))
+        return (jnp.pad(w[:, :8], pw), jnp.pad(e[:, :8], pe),
+                jnp.pad(w[:, 8:], pw), jnp.pad(e[:, 8:], pe))
+
+    gFh_w, gFh_e, gFl_w, gFl_e = ex(Fh, Fl)
+    gUh_w, gUh_e, gUl_w, gUl_e = ex(Uh, Ul)
+    return (gFh_w, gFh_e, gUh_w, gUh_e, gFl_w, gFl_e, gUl_w, gUl_e)
+
+
+def _dd_ghosts(pair, axis_y, axis_x):
+    """(slabs, gcols, scal flag extras) for a sharded dd fullstep call:
+    the x exchange runs first so the y slabs can carry corner data on 2D
+    meshes (two-phase exchange)."""
+    gcols = ghost_cols_dd(pair, axis_x) if axis_x is not None else None
+    slabs = (ghost_slabs_dd(pair, axis_y, gcols)
+             if axis_y is not None else None)
+    extra = ()
+    if axis_y is not None:
+        extra += _shard_flags(axis_y)
+    if axis_x is not None:
+        extra += _shard_flags(axis_x)
+    return slabs, gcols, extra
+
+
 def _shard_flags(axis_y: str):
     from jax import lax
 
@@ -936,60 +1159,64 @@ def _shard_flags(axis_y: str):
     return ((idx == 0).astype(jnp.float32), (idx == n - 1).astype(jnp.float32))
 
 
-def euler_steps_dd_pair_sharded(pair, p: SimParams, axis_y: str,
+def euler_steps_dd_pair_sharded(pair, p: SimParams, axis_y,
                                 T: int = EULER_DD_BLOCK_STEPS, fu=0.0,
-                                dirichlet_value=0.0, interpret=False):
-    """T fused Euler steps per shard with one slab exchange (depth T <= 8)."""
-    g = ghost_slabs_dd(pair, axis_y)
-    first, last = _shard_flags(axis_y)
+                                dirichlet_value=0.0, interpret=False,
+                                axis_x=None):
+    """T fused Euler steps per shard with one slab/column exchange per
+    sharded axis (depth T <= 8)."""
+    slabs, gcols, extra = _dd_ghosts(pair, axis_y, axis_x)
     Fh, Fl, Uh, Ul = pair
     o = _fullstep_call_dd(p, "euler", interpret or FORCE_INTERPRET, T,
                           Fh, Fl, Uh, Ul,
-                          _scal_row(dirichlet_value, fu, 0.0, (first, last)),
-                          ghosts=g)
+                          _scal_row(dirichlet_value, fu, 0.0, extra),
+                          ghosts=slabs, gcols=gcols)
     return (o[0], o[2], o[1], o[3])
 
 
-def rk4_full_dd_pair_sharded(pair, p: SimParams, axis_y: str, fu=0.0,
-                             dirichlet_value=0.0, interpret=False):
-    g = ghost_slabs_dd(pair, axis_y)
-    first, last = _shard_flags(axis_y)
+def rk4_full_dd_pair_sharded(pair, p: SimParams, axis_y, fu=0.0,
+                             dirichlet_value=0.0, interpret=False,
+                             axis_x=None):
+    slabs, gcols, extra = _dd_ghosts(pair, axis_y, axis_x)
     Fh, Fl, Uh, Ul = pair
     o = _fullstep_call_dd(p, "rk4", interpret or FORCE_INTERPRET, 1,
                           Fh, Fl, Uh, Ul,
-                          _scal_row(dirichlet_value, fu, 0.0, (first, last)),
-                          ghosts=g)
+                          _scal_row(dirichlet_value, fu, 0.0, extra),
+                          ghosts=slabs, gcols=gcols)
     return (o[0], o[2], o[1], o[3])
 
 
-def rkm_attempt_dd_pair_sharded(pair, tau, p: SimParams, axis_y: str, fu=0.0,
+def rkm_attempt_dd_pair_sharded(pair, tau, p: SimParams, axis_y, fu=0.0,
                                 dirichlet_value=0.0, interpret=False,
-                                slabs=None, flags=None):
+                                slabs=None, flags=None, axis_x=None,
+                                gcols=None):
     """One Merson attempt per shard; returns (pair', emax_F, emax_U) with
-    SHARD-LOCAL f32 maxima (caller pmaxes).  ``slabs``/``flags`` allow the
-    solver to hoist the tau-invariant collectives out of the retry loop."""
-    g = slabs if slabs is not None else ghost_slabs_dd(pair, axis_y)
-    first, last = flags if flags is not None else _shard_flags(axis_y)
+    SHARD-LOCAL f32 maxima (caller pmaxes).  ``slabs``/``gcols``/``flags``
+    (a `_dd_ghosts` result) allow the solver to hoist the tau-invariant
+    collectives out of the retry loop."""
+    if flags is None:
+        slabs, gcols, flags = _dd_ghosts(pair, axis_y, axis_x)
     Fh, Fl, Uh, Ul = pair
     o = _fullstep_call_dd(p, "rkm", interpret or FORCE_INTERPRET, 1,
                           Fh, Fl, Uh, Ul,
-                          _scal_row(dirichlet_value, fu, tau, (first, last)),
-                          ghosts=g)
+                          _scal_row(dirichlet_value, fu, tau, flags),
+                          ghosts=slabs, gcols=gcols)
     return (o[0], o[2], o[1], o[3]), jnp.max(o[4]), jnp.max(o[5])
 
 
-def si_prepare_dd_pair_sharded(pair, p: SimParams, axis_y: str,
-                               dirichlet_value=0.0, interpret=False):
+def si_prepare_dd_pair_sharded(pair, p: SimParams, axis_y,
+                               dirichlet_value=0.0, interpret=False,
+                               axis_x=None):
     """Sharded twin of `si_prepare_dd_pair`: the pair state's 8-row edge
-    slabs travel over ICI (`ghost_slabs_dd`, one 16-row message per field),
-    BC images apply only at global edges."""
-    g = ghost_slabs_dd(pair, axis_y)
-    first, last = _shard_flags(axis_y)
+    slabs (and/or 8-column edge slabs on x-sharded meshes) travel over
+    ICI (`ghost_slabs_dd`/`ghost_cols_dd`, one stacked message per field
+    per direction), BC images apply only at global edges."""
+    slabs, gcols, extra = _dd_ghosts(pair, axis_y, axis_x)
     Fh, Fl, Uh, Ul = pair
     o = _fullstep_call_dd(p, "si", interpret or FORCE_INTERPRET, 1,
                           Fh, Fl, Uh, Ul,
-                          _scal_row(dirichlet_value, 0.0, 0.0, (first, last)),
-                          ghosts=g)
+                          _scal_row(dirichlet_value, 0.0, 0.0, extra),
+                          ghosts=slabs, gcols=gcols)
     if len(o) > 4:
         return (o[0], o[2]), (o[1], o[3]), o[4]
     return (o[0], o[2]), (o[1], o[3])

@@ -37,7 +37,8 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
                 return euler_steps_dd(F, U, p, T=1, fu=fu)
             if wants_dd_sharded(p, topo, F.shape[0], F.shape[1]):
                 out = euler_steps_dd_pair_sharded(
-                    state_to_pair(F, U), p, topo.axis_y, T=1, fu=fu)
+                    state_to_pair(F, U), p, topo.axis_y, T=1, fu=fu,
+                    axis_x=topo.axis_x)
                 return pair_to_state(out)
         return euler_eval([(F, U)], [1.0], p, topo, fu)
     if F.dtype == jnp.float64:
@@ -63,7 +64,8 @@ def euler_step_based(F, U, U_base, p: SimParams, topo: Topology, fu=0.0,
                 out = euler_steps_dd_pair(pair, p, T=1, fu=fu)
             else:
                 out = euler_steps_dd_pair_sharded(pair, p, topo.axis_y,
-                                                  T=1, fu=fu)
+                                                  T=1, fu=fu,
+                                                  axis_x=topo.axis_x)
             du = dd.sub((out[2], out[3]), (pair[2], pair[3]))
             nU = dd.add(dd.from_f64(U_base), du)
             return dd.to_f64((out[0], out[1])), dd.to_f64(nU)
@@ -96,8 +98,9 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
     time-dependent), stats/step-residual collection (pairs emit none), the
     corrector loop, and configs the fused kernel does not tile.  On
     y-sharded meshes (pass ``mesh``) the ghost-slab variant engages -- one
-    8-row slab exchange per T steps; x-sharded/ensemble topologies fall
-    back to single steps.
+    8-row slab exchange per T steps (df64 additionally covers x/2D meshes
+    via ghost columns); f32 x-sharded and ensemble topologies fall back
+    to single steps.
     """
     from ..core.params import SolverType
 
@@ -119,21 +122,24 @@ def make_euler_pair_stepper(p: SimParams, topo: Topology, mesh=None):
                                      wants_dd_sharded)
 
         if topo.is_sharded:
-            if mesh is None or topo.axis_x is not None or topo.axis_batch:
+            if mesh is None or topo.axis_batch:
                 return None
-            n_y = int(mesh.shape[topo.axis_y])
+            n_y = int(mesh.shape[topo.axis_y]) if topo.axis_y else 1
+            n_x = int(mesh.shape[topo.axis_x]) if topo.axis_x else 1
             ny_local = p.ny // n_y
-            if not wants_dd_sharded(p, topo, ny_local, p.nx):
+            nx_local = p.nx // n_x
+            if not wants_dd_sharded(p, topo, ny_local, nx_local):
                 return None
             # per-shard working set decides the cache/HBM regime
-            Tdd = euler_dd_block_steps(ny_local * p.nx)
+            Tdd = euler_dd_block_steps(ny_local * nx_local)
             import jax
 
             from ..parallel.sharded import _state_specs
 
             def pair_inner(state):
                 out = euler_steps_dd_pair_sharded(
-                    state_to_pair(state.F, state.U), p, topo.axis_y, T=Tdd)
+                    state_to_pair(state.F, state.U), p, topo.axis_y, T=Tdd,
+                    axis_x=topo.axis_x)
                 F2, U2 = pair_to_state(out)
                 t_next = (state.iter.astype(state.t.dtype) + Tdd) * \
                     jnp.asarray(p.dt, state.t.dtype)
@@ -251,9 +257,11 @@ def rk4_step(F, U, p: SimParams, topo: Topology, fu=0.0):
             # pass at ~2^-48 precision (ops/pallas_dd.py)
             return rk4_full_dd(F, U, p, fu)
         if wants_dd_sharded(p, topo, F.shape[0], F.shape[1]):
-            # ghost-slab df64 whole step: one slab exchange per field
+            # ghost-slab/column df64 whole step: one exchange per field
+            # per sharded axis
             out = rk4_full_dd_pair_sharded(state_to_pair(F, U), p,
-                                           topo.axis_y, fu)
+                                           topo.axis_y, fu,
+                                           axis_x=topo.axis_x)
             return pair_to_state(out)
 
     backend_full = _resolve_backend(p, topo, 4, ny_local=F.shape[0],
@@ -341,10 +349,9 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
     tol_U = jnp.asarray(p.T_tolerance, dtype)
     dd_pair0 = None
     dd_sharded = False
-    dd_slabs = dd_flags = None
+    dd_slabs = dd_flags = dd_gcols = None
     if F.dtype == jnp.float64:
-        from ..ops.pallas_dd import (_shard_flags, ghost_slabs_dd,
-                                     state_to_pair, wants_dd,
+        from ..ops.pallas_dd import (_dd_ghosts, state_to_pair, wants_dd,
                                      wants_dd_sharded)
 
         if wants_dd(p, topo):
@@ -354,13 +361,13 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
             # winning candidate is joined back to f64 after the loop.
             dd_pair0 = state_to_pair(F, U)
         elif wants_dd_sharded(p, topo, F.shape[0], F.shape[1]):
-            # sharded twin: the pair AND its ghost slabs are tau-invariant,
-            # so the 4 ICI collectives hoist out of the retry while_loop
-            # (same discipline as the f32 full_sharded path below)
+            # sharded twin: the pair AND its ghost slabs/columns are
+            # tau-invariant, so the ICI collectives hoist out of the retry
+            # while_loop (same discipline as the f32 full_sharded path)
             dd_pair0 = state_to_pair(F, U)
             dd_sharded = True
-            dd_slabs = ghost_slabs_dd(dd_pair0, topo.axis_y)
-            dd_flags = _shard_flags(topo.axis_y)
+            dd_slabs, dd_gcols, dd_flags = _dd_ghosts(
+                dd_pair0, topo.axis_y, topo.axis_x)
 
     backend = ("xla" if dd_pair0 is not None else
                _resolve_backend(p, topo, 4, ny_local=F.shape[0],
@@ -417,7 +424,8 @@ def rkm_adaptive_step(F, U, tau0, p: SimParams, topo: Topology, fu=0.0):
             if dd_sharded:
                 cand, emax_F, emax_U = rkm_attempt_dd_pair_sharded(
                     dd_pair0, tau, p, topo.axis_y, fu,
-                    slabs=dd_slabs, flags=dd_flags)
+                    slabs=dd_slabs, flags=dd_flags, gcols=dd_gcols,
+                    axis_x=topo.axis_x)
                 emax_F = topo.allmax(emax_F)
                 emax_U = topo.allmax(emax_U)
             else:

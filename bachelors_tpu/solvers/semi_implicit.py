@@ -253,11 +253,11 @@ def _semi_implicit_step_dd(F, U, U_base, p: SimParams, topo: Topology):
     f64 emulation), then split to an f32 pair for the f32 CG rhs and the
     pair-precision refinement residual.
 
-    y-sharded meshes (`wants_dd_sharded`): the prepare rides the
-    ghost-slab pair exchange, the CG matvecs their ghost-row sharded
-    twins (local <p,Ap>, psummed by cg_solve), and the refinement
-    residuals exchange ghost rows of e -- same collective count per
-    solve as the f32 sharded path.
+    Sharded meshes -- y, x and 2D (`wants_dd_sharded`): the prepare rides
+    the ghost-slab/ghost-column pair exchange, the CG matvecs their
+    ghost-row/column sharded twins (local <p,Ap>, psummed by cg_solve),
+    and the refinement residuals exchange ghost rows/columns of e -- same
+    collective count per solve as the f32 sharded path.
     """
     from ..ops import df64 as dd
     from ..ops.pallas_cg import (aniso_matvec_pAp, aniso_matvec_pAp_sharded,
@@ -271,9 +271,11 @@ def _semi_implicit_step_dd(F, U, U_base, p: SimParams, topo: Topology):
                                  si_prepare_dd_pair_sharded, state_to_pair)
 
     axis_y = topo.axis_y if topo.is_sharded else None
+    axis_x = topo.axis_x if topo.is_sharded else None
+    sharded = axis_y is not None or axis_x is not None
     pair = state_to_pair(F, U)
-    prep = (si_prepare_dd_pair_sharded(pair, p, axis_y)
-            if axis_y is not None else si_prepare_dd_pair(pair, p))
+    prep = (si_prepare_dd_pair_sharded(pair, p, axis_y, axis_x=axis_x)
+            if sharded else si_prepare_dd_pair(pair, p))
     s_map = prep[2] if len(prep) > 2 else None
     r0F_pair, ut_pair = prep[0], prep[1]
 
@@ -299,14 +301,15 @@ def _semi_implicit_step_dd(F, U, U_base, p: SimParams, topo: Topology):
                            boundary=p.Phi_boundary)
         if not use_pallas_cg:
             mv_F = None
-        elif axis_y is not None:
+        elif sharded:
             mv_F = lambda v, out=None: cross_matvec_pAp_sharded(
-                A_Fc, v, axis_y, out=out)
+                A_Fc, v, axis_y, axis_x=axis_x, out=out)
         else:
             mv_F = lambda v, out=None: cross_matvec_pAp(A_Fc, v, out=out)
         refine_F = (
-            (lambda e1: cross_residual_dd_sharded(r0F_pair, e1, A_Fc, axis_y))
-            if axis_y is not None
+            (lambda e1: cross_residual_dd_sharded(r0F_pair, e1, A_Fc, axis_y,
+                                                  axis_x=axis_x))
+            if sharded
             else (lambda e1: cross_residual_dd(r0F_pair, e1, A_Fc)))
     else:
         # variable s (anisotropy / corrector-guess): the prepare's f32
@@ -317,22 +320,22 @@ def _semi_implicit_step_dd(F, U, U_base, p: SimParams, topo: Topology):
         s = s_map
         if not use_pallas_cg:
             mv_F = None
-        elif axis_y is not None:
+        elif sharded:
             mv_F = lambda v, out=None: aniso_matvec_pAp_sharded(
-                A_F, s_map, v, axis_y, out=out)
+                A_F, s_map, v, axis_y, axis_x=axis_x, out=out)
         else:
             mv_F = lambda v, out=None: aniso_matvec_pAp(A_F, s_map, v,
                                                         out=out)
         refine_F = (
             (lambda e1: aniso_residual_dd_sharded(r0F_pair, e1, A_F, s_map,
-                                                  axis_y))
-            if axis_y is not None
+                                                  axis_y, axis_x=axis_x))
+            if sharded
             else (lambda e1: aniso_residual_dd(r0F_pair, e1, A_F, s_map)))
     if not use_pallas_cg:
         mv_U = None
-    elif axis_y is not None:
-        mv_U = lambda v, out=None: cross_matvec_pAp_sharded(A_U, v, axis_y,
-                                                            out=out)
+    elif sharded:
+        mv_U = lambda v, out=None: cross_matvec_pAp_sharded(
+            A_U, v, axis_y, axis_x=axis_x, out=out)
     else:
         mv_U = lambda v, out=None: cross_matvec_pAp(A_U, v, out=out)
     mvx_F = lambda v: anisotropy_matvec(A_F, s, v, topo)
@@ -367,9 +370,10 @@ def _semi_implicit_step_dd(F, U, U_base, p: SimParams, topo: Topology):
                         p.L * (e1_F + e2_F) + (ut_pair[0] + ut_pair[1])
                         + extra32,
                         p.T_tolerance, p.T_max_iters)
-    if axis_y is not None:
+    if sharded:
         r1_U = heat_residual_dd_sharded(ut_pair, (e1_F, e2_F), e1_U, A_U,
-                                        p.L, axis_y, extra_pair=extra_pair)
+                                        p.L, axis_y, extra_pair=extra_pair,
+                                        axis_x=axis_x)
     else:
         r1_U = heat_residual_dd(ut_pair, (e1_F, e2_F), e1_U, A_U, p.L,
                                 extra_pair=extra_pair)

@@ -452,22 +452,22 @@ def test_shipped_config_ini_runs(tmp_path, monkeypatch):
     assert cfg.params.solver.value == "explicit-rk4-adaptive"
 
 
-def test_f64_x_sharded_warns_about_dd_fallback(capsys):
-    """[tpu] dtype=float64 + shards_x>1 rides XLA's slow f64 emulation
-    (the df64 kernels are y-mesh only) -- the config loader must say so
-    loudly at parse time."""
+def test_f64_x_sharded_engages_dd_quietly(capsys):
+    """Since round 5 the df64 ghost-COLUMN kernels cover x/2D meshes
+    (`ops.pallas_dd.ghost_cols_dd`), so a tiling f64 x-sharded config is
+    no longer a fallback and must parse without warnings; a NON-tiling
+    one still gets the fused-kernel gap warning (per-shard geometry)."""
     cfg = parse_config(
         CONFIG_TEXT,
-        ["[tpu]\nbackend = auto\ndtype = float64\nshards_x = 2\n"])
-    err = capsys.readouterr().err
-    assert "shards_x" in err and "y-sharded" in err
+        ["[simulation]\nmesh_size_x = 512\nmesh_size_y = 256\n",
+         "[tpu]\nbackend = auto\ndtype = float64\nshards_x = 2\n"])
+    assert "fused" not in capsys.readouterr().err
     assert cfg.shards_x == 2
-    # no warning when the y-mesh (the supported shape) is used instead,
-    # or when backend=xla explicitly opts into the emulation path
     parse_config(CONFIG_TEXT,
-                 ["[tpu]\nbackend = auto\ndtype = float64\nshards_y = 2\n"])
-    parse_config(CONFIG_TEXT, ["[tpu]\ndtype = float64\nshards_x = 2\n"])
-    assert "shards_x" not in capsys.readouterr().err
+                 ["[simulation]\nmesh_size_x = 512\nmesh_size_y = 256\n",
+                  "[tpu]\nbackend = auto\ndtype = float64\nshards_x = 8\n"])
+    err = capsys.readouterr().err
+    assert "fused" in err and "per shard (64)" in err
 
 
 def test_auto_backend_warns_on_non_tiling_config(capsys):

@@ -464,8 +464,8 @@ class TestSemiImplicitDD:
                                               differentiable=True), TOPO)
         assert not wants_dd_si(self.make_si_p(backend="xla"), TOPO)
 
-        # y-sharded meshes ride the ghost-slab prepare + ghost-row
-        # residuals (round 4); x/2D meshes still fall back
+        # sharded meshes ride the ghost-slab prepare + ghost-row/column
+        # residuals: y-only (round 4) and x/2D (round 5) alike
         class _Topo:
             is_sharded = True
             axis_y = "y"
@@ -475,7 +475,7 @@ class TestSemiImplicitDD:
         assert wants_dd_si(p_sh, _Topo(), 64, 128)
         assert not wants_dd_si(p_sh, _Topo())  # no local shape supplied
         _Topo.axis_x = "x"
-        assert not wants_dd_si(p_sh, _Topo(), 64, 128)
+        assert wants_dd_si(p_sh, _Topo(), 64, 128)
 
     def test_step_gamma_blend(self):
         """gamma != 1 (`simulation.cu:798-871,893-899`): gamma scales the
