@@ -248,6 +248,38 @@ def test_driver_resume(tmp_path, monkeypatch):
                                rtol=0, atol=1e-7)
 
 
+def test_mixed_dtype_multi_config_sequence(tmp_path, monkeypatch):
+    """An f64 config followed by an f32 config in the SAME process: the
+    driver enables jax x64 mode for the f64 run and deliberately does not
+    restore it (`app/driver.py` run_simulation -- un-setting the
+    process-global mid-run would invalidate live f64 arrays).  Pin the
+    claim that justifies this: later f32 configs still produce f32
+    snapshots with the same physics.  (The suite's conftest keeps x64 on,
+    which is exactly the post-f64-run state the claim is about.)"""
+    monkeypatch.chdir(tmp_path)
+    open("a64.ini", "w").write(
+        CONFIG_TEXT.replace("backend = xla", "backend = xla\ndtype = float64"))
+    open("b32.ini", "w").write(
+        CONFIG_TEXT.replace("backend = xla", "backend = xla\ndtype = float32"))
+    res64 = run_config_file("a64.ini")
+    res32 = run_config_file("b32.ini")
+    assert res64.iters == res32.iters == 4
+    snap64 = load_bin_maps(os.path.join(res64.save_folder, "maps_0002.bin"))
+    snap32 = load_bin_maps(os.path.join(res32.save_folder, "maps_0002.bin"))
+    # .bin maps are always written f32 (reference layout); probe the
+    # in-driver dtype the way run_simulation builds states, under the
+    # post-f64 x64-enabled process state
+    import jax
+    assert jax.config.read("jax_enable_x64")
+    from bachelors_tpu.app.driver import _initial_state
+    st32 = _initial_state(parse_config(open("b32.ini").read()))
+    assert st32.F.dtype == np.float32
+    np.testing.assert_allclose(snap32.maps["F"], snap64.maps["F"],
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(snap32.maps["U"], snap64.maps["U"],
+                               rtol=0, atol=1e-5)
+
+
 def test_adaptive_driver_runs(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     text = CONFIG_TEXT.replace("solver = explicit", "solver = explicit-rk4-adaptive")
