@@ -82,6 +82,28 @@ class TestEulerDD:
         assert relerr(nF4, wF) < 1e-12
         assert relerr(nU4, wU) < 1e-12
 
+    def test_vmapped_pair_kernel_matches_oracle_per_member(self):
+        """Ensembles ([tpu] ensemble = N) vmap the stepper
+        (`parallel/sharded.make_ensemble_stepper`), which vmaps the pair
+        kernels -- pallas_call lifts the batch axis into a leading grid
+        dim.  Each member must integrate independently at pair precision."""
+        p = make_p()
+        rng = np.random.default_rng(3)
+        F = jnp.asarray(0.5 + 0.4 * np.sin(rng.normal(size=(2, p.ny, p.nx))),
+                        jnp.float64)
+        U = jnp.asarray(0.1 * rng.normal(size=(2, p.ny, p.nx)), jnp.float64)
+
+        def one(F, U):
+            pair = pallas_dd.state_to_pair(F, U)
+            out = pallas_dd.euler_steps_dd_pair(pair, p, T=1, interpret=True)
+            return pallas_dd.pair_to_state(out)
+
+        nF, nU = jax.vmap(one)(F, U)
+        for b in range(2):
+            dF, dU = eval_rhs([(F[b], U[b])], [1.0], p, TOPO)
+            assert relerr(nF[b], F[b] + p.dt * dF) < 1e-12
+            assert relerr(nU[b], U[b] + p.dt * dU) < 1e-12
+
     def test_f32_transcendentals_semantics(self):
         """With the reference's sqrtf-in-f64 semantics (the default), the
         dd kernel and the f64 oracle both round |grad| to f32 and agree
