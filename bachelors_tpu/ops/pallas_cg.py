@@ -121,9 +121,18 @@ def _matvec_pAp(bc: BoundaryType, C: float, X: float, Y: float, with_s: bool,
             E, W = _shift_x(pc, bc, 0.0, gw[:, 0:1], ge[:, 0:1])
         else:
             E, W = _shift_x(pc, bc, 0.0)
+        # square cells have X == Y (the shipped configs): one neighbor sum
+        # times one (per-cell) coefficient -- saves 1-2 multiplies/cell
+        # (the matvec is cache-resident/VPU-bound at <= 2048^2, RESULTS.md)
         if with_s:
             sv = sc[:]
-            Av = (1 + C * sv) * pc + (X * sv) * (E + W) + (Y * sv) * (N + S)
+            if X == Y:
+                Av = (1 + C * sv) * pc + (X * sv) * ((E + W) + (N + S))
+            else:
+                Av = ((1 + C * sv) * pc + (X * sv) * (E + W)
+                      + (Y * sv) * (N + S))
+        elif X == Y:
+            Av = C * pc + X * ((E + W) + (N + S))
         else:
             Av = C * pc + X * (E + W) + Y * (N + S)
         if blend:

@@ -197,6 +197,11 @@ def _make_physics_dd(p: SimParams):
         # constant on square cells; lap_U stays unscaled (dt_U needs it)
         k1_lap = lap(Fc, F_N, F_S, F_E, F_W, k1_factor if square else 1.0)
         lap_U = lap(Uc, U_N, U_S, U_E, U_W, 1.0)
+        # NOTE: the f32 kernels' round-5 gradient fold (raw differences,
+        # scale deferred into k2) is deliberately NOT applied here: it
+        # measured +0.1% on the dd Euler step (the two saved pair
+        # multiplies are noise next to the pair laplacians), so the
+        # validated rounding path is kept as-is
         gx = dd.mul_const(dd.sub(F_E, F_W), inv_2dx)
         gy = dd.mul_const(dd.sub(F_N, F_S), inv_2dy)
         if p.f32_transcendentals:
@@ -837,21 +842,25 @@ def _make_cross_residual_kernel(bc: BoundaryType, C: float, X: float,
         # A e in pair precision: e and its neighbors are exact f32, the
         # neighbor sums are TwoSum pairs, the coefficient products df64
         zero = jnp.zeros_like(ext)
+
+        def neighbor_term():
+            # square cells have X == Y (the shipped configs): one raw
+            # neighbor sum times one pair constant
+            ew = dd.add((E, zero), (W, zero))
+            ns = dd.add((N, zero), (S, zero))
+            if X == Y:
+                return dd.mul_const(dd.add(ew, ns), X)
+            return dd.add(dd.mul_const(ew, X), dd.mul_const(ns, Y))
+
         if aniso:
             # (1 + Cm1 s) e + X s (E+W) + Y s (N+S)
             #   = e + s * (Cm1 e + X (E+W) + Y (N+S))
-            cross = dd.add(dd.add(dd.mul_const((ext, zero), C),
-                                  dd.mul_const(dd.add((E, zero), (W, zero)),
-                                               X)),
-                           dd.mul_const(dd.add((N, zero), (S, zero)), Y))
+            cross = dd.add(dd.mul_const((ext, zero), C), neighbor_term())
             sc = ctr(cross[0]), ctr(cross[1])
             Ae = dd.add((ctr(ext), ctr(zero)),
                         dd.mul_f32(sc, s_ref[:]))
         else:
-            full = dd.add(dd.add(dd.mul_const((ext, zero), C),
-                                 dd.mul_const(dd.add((E, zero), (W, zero)),
-                                              X)),
-                          dd.mul_const(dd.add((N, zero), (S, zero)), Y))
+            full = dd.add(dd.mul_const((ext, zero), C), neighbor_term())
             Ae = (ctr(full[0]), ctr(full[1]))
         r0 = (r0h[:], r0l[:])
         if heat_L is not None:

@@ -230,24 +230,44 @@ def _make_physics(p: SimParams):
     k2_factor = p.b * p.beta / p.alpha
     k1_factor = 1.0 / p.alpha
     dt_L = p.dt * p.L
+    # square cells (every shipped/benchmark config): the 5-point stencil
+    # collapses to ONE raw neighbor sum times one constant, and lap_F's
+    # constant additionally absorbs k1_factor = 1/alpha (g(theta)
+    # multiplies AFTER, so the fold holds for S != 0 too) -- the f32 twin
+    # of the round-4 df64 fold (`pallas_dd._make_physics_dd`); these
+    # kernels are VPU-bound (RESULTS.md), so fewer ops/cell is the lever.
+    # Mosaic does not contract mul+add, so every saved op is real.
+    square = dx == dy
+
+    def lap(C, N, S, E, W, scale: float):
+        if square:
+            return ((W + E) + (S + N) - 4 * C) * (inv_dx2 * scale)
+        l = (W - 2 * C + E) * inv_dx2 + (S - 2 * C + N) * inv_dy2
+        return l * scale if scale != 1.0 else l
 
     def phys(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W, fu):
-        lap_F = (F_W - 2 * Fc + F_E) * inv_dx2 + (F_S - 2 * Fc + F_N) * inv_dy2
-        lap_U = (U_W - 2 * Uc + U_E) * inv_dx2 + (U_S - 2 * Uc + U_N) * inv_dy2
+        # k1_lap_F = lap(F)/alpha with the 1/alpha folded into the stencil
+        # constant on square cells; lap_U stays unscaled (dt_U needs it)
+        k1_lap_F = lap(Fc, F_N, F_S, F_E, F_W, k1_factor if square else 1.0)
+        lap_U = lap(Uc, U_N, U_S, U_E, U_W, 1.0)
 
-        gx = (F_E - F_W) * inv_2dx
-        gy = (F_N - F_S) * inv_2dy
+        # gradient fold (square cells): |grad| = inv_2dx * |(dFx, dFy)|
+        # with the scale deferred past the norm into k2's constant --
+        # g(theta) only consumes the scale-invariant ratios dF/|dF|
+        gx = F_E - F_W if square else (F_E - F_W) * inv_2dx
+        gy = F_N - F_S if square else (F_N - F_S) * inv_2dy
         grad_norm = jnp.sqrt(gx * gx + gy * gy)
-        k2 = grad_norm * k2_factor
+        k2 = grad_norm * ((inv_2dx if square else 1.0) * k2_factor)
 
         g_theta = _g_theta_vpu(gx, gy, grad_norm, p)
+        if not square:
+            k1_lap_F = k1_lap_F * k1_factor
         if g_theta is None:
             # isotropic fast path (the benchmark configs): g == 1
             k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
-            k1_lap_F = lap_F * k1_factor
         else:
             k0 = g_theta * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
-            k1_lap_F = g_theta * lap_F * k1_factor
+            k1_lap_F = g_theta * k1_lap_F
 
         if p.do_corrector_guess:
             corr = 1 + k2 * dt_L
@@ -283,21 +303,31 @@ def _make_si_terms(p: SimParams):
     k0_factor = p.a / (p.xi * p.xi * p.alpha)
     k2_factor = p.b * p.beta / p.alpha
     k1_factor = 1.0 / p.alpha
+    # square-cell stencil fold, same as `_make_physics`
+    square = dx == dy
+
+    def lap(C, N, S, E, W, scale: float):
+        if square:
+            return ((W + E) + (S + N) - 4 * C) * (inv_dx2 * scale)
+        l = (W - 2 * C + E) * inv_dx2 + (S - 2 * C + N) * inv_dy2
+        return l * scale if scale != 1.0 else l
 
     def terms(Fc, F_N, F_S, F_E, F_W, Uc, U_N, U_S, U_E, U_W):
-        lap_F = (F_W - 2 * Fc + F_E) * inv_dx2 + (F_S - 2 * Fc + F_N) * inv_dy2
-        lap_U = (U_W - 2 * Uc + U_E) * inv_dx2 + (U_S - 2 * Uc + U_N) * inv_dy2
-        gx = (F_E - F_W) * inv_2dx
-        gy = (F_N - F_S) * inv_2dy
+        k1_lap = lap(Fc, F_N, F_S, F_E, F_W, k1_factor if square else 1.0)
+        lap_U = lap(Uc, U_N, U_S, U_E, U_W, 1.0)
+        # gradient fold on square cells, same as `_make_physics`
+        gx = F_E - F_W if square else (F_E - F_W) * inv_2dx
+        gy = F_N - F_S if square else (F_N - F_S) * inv_2dy
         grad_norm = jnp.sqrt(gx * gx + gy * gy)
-        k2 = grad_norm * k2_factor
+        k2 = grad_norm * ((inv_2dx if square else 1.0) * k2_factor)
         g = _g_theta_vpu(gx, gy, grad_norm, p)
+        if not square:
+            k1_lap = k1_lap * k1_factor
         if g is None:
             k0 = Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
-            k1_lap = lap_F * k1_factor
         else:
             k0 = g * Fc * (1 - Fc) * (Fc - 0.5) * k0_factor
-            k1_lap = g * lap_F * k1_factor
+            k1_lap = g * k1_lap
         if p.do_corrector_guess:
             corr = 1 + k2 * (p.dt * p.L)
             r0 = p.dt / corr * (k1_lap + k0 - k2 * (Uc - p.Tm + p.dt * lap_U))

@@ -105,6 +105,22 @@ def test_kernel_multi_tile(rng):
     assert_match(got[1], want[1])
 
 
+@pytest.mark.parametrize("S,guess", [(0.0, False), (0.25, False), (0.0, True)])
+def test_kernel_square_cells_fold(S, guess, rng):
+    """dx == dy engages the folded stencil/gradient constants in
+    `_make_physics` (every shipped/benchmark config is square); the
+    default test geometry here is NON-square (nx=128, ny=32, one L0), so
+    pin the folded branch against the per-axis XLA oracle explicitly."""
+    p = params(BoundaryType.NEUMANN, ny=128, nx=128, S=S,
+               do_corrector_guess=guess)
+    assert p.dx == p.dy
+    (F, U), = rand_states(rng, p, 1)
+    got = blend_rhs_pallas([(F, U)], [1.0], p, interpret=True)
+    want = oracle([(F, U)], [1.0], p)
+    assert_match(got[0], want[0])
+    assert_match(got[1], want[1])
+
+
 def test_supports_gates():
     assert not supports(params(dtype="float64"))
     assert not supports(params(nx=100))
@@ -789,6 +805,27 @@ class TestSiPrepare:
             # the oracle's s map is exactly the constant the solver folds in
             np.testing.assert_array_equal(np.asarray(want_s),
                                           np.float32(p.gamma / p.alpha))
+
+    @pytest.mark.parametrize("S,guess", [(0.0, False), (0.3, True)])
+    def test_matches_oracle_square_cells(self, S, guess, rng):
+        """Square cells engage `_make_si_terms`'s folded stencil/gradient
+        constants (the production branch; the default geometry is
+        non-square)."""
+        from bachelors_tpu.ops.pallas_rhs import si_prepare_pallas, si_s_varies
+
+        p = params(BoundaryType.NEUMANN, ny=128, nx=128, S=S,
+                   do_corrector_guess=guess)
+        assert p.dx == p.dy
+        (F, U), = rand_states(rng, p, 1)
+        want_r0, want_ut, want_s = self._oracle(F, U, p)
+        out = si_prepare_pallas(jnp.asarray(F), jnp.asarray(U), p,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want_r0),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want_ut),
+                                   atol=2e-5 * p.dt / 5e-6, rtol=1e-4)
+        if si_s_varies(p):
+            assert_match(out[2], want_s)
 
     def test_sharded_ghost_rows(self, rng):
         import jax

@@ -168,6 +168,24 @@ class TestEulerDD:
         assert relerr(nF, F + p.dt * dF) < 1e-12
         assert relerr(nU, U + p.dt * dU) < 1e-12
 
+    @pytest.mark.parametrize("S,f32t,bound", [
+        (0.0, False, 1e-12),    # folded lap + k2 constants, pair sqrt
+        (0.25, False, 1e-11),   # raw-ratio _g_theta_dd (scale-invariant)
+        (0.25, True, 2e-7),     # raw-ratio _g_theta_vpu + folded k2_32
+    ])
+    def test_square_cells_fold(self, S, f32t, bound):
+        """dx == dy engages the folded stencil + gradient constants in
+        `_make_physics_dd` (the production branch -- every shipped config
+        is square; the default test geometry here is non-square)."""
+        p = make_p(ny=128, S=S, m0=6.0 if S else 4.0,
+                   f32_transcendentals=f32t)
+        assert p.dx == p.dy and supports_dd(p)
+        F, U = fields(p, seed=71)
+        nF, nU = euler_steps_dd(F, U, p, T=1, interpret=True)
+        dF, dU = eval_rhs([(F, U)], [1.0], p, TOPO)
+        assert relerr(nF, F + p.dt * dF) < bound
+        assert relerr(nU, U + p.dt * dU) < bound
+
     def test_forcing_term(self):
         p = make_p()
         F, U = fields(p, seed=11)
